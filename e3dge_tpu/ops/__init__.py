@@ -1,0 +1,26 @@
+"""L0 numeric primitives (TPU-native equivalents of the reference's CUDA ops)."""
+
+from e3dge_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
+from e3dge_tpu.ops.grid_sample import grid_sample, grid_sample_3d, interpolate_bilinear
+from e3dge_tpu.ops.posenc import pos_encoding
+from e3dge_tpu.ops.upfirdn2d import (
+    blur,
+    downsample2x,
+    make_kernel,
+    upfirdn2d,
+    upsample2x,
+)
+
+__all__ = [
+    "fused_leaky_relu",
+    "scaled_leaky_relu",
+    "grid_sample",
+    "grid_sample_3d",
+    "interpolate_bilinear",
+    "pos_encoding",
+    "upfirdn2d",
+    "make_kernel",
+    "upsample2x",
+    "downsample2x",
+    "blur",
+]

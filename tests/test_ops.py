@@ -1,0 +1,125 @@
+"""Golden tests for the L0 numeric primitives.
+
+upfirdn2d is checked against an independent numpy step-by-step model; grid_sample is
+checked against torch.nn.functional.grid_sample (CPU), which defines the semantics the
+reference relies on (`op/grid_sample_gradfix.py`: bilinear, zeros, align_corners=False).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e3dge_tpu.ops import (
+    downsample2x,
+    fused_leaky_relu,
+    grid_sample,
+    interpolate_bilinear,
+    make_kernel,
+    pos_encoding,
+    upfirdn2d,
+    upsample2x,
+)
+from e3dge_tpu.ops.upfirdn2d import upfirdn2d_ref
+
+
+@pytest.mark.parametrize(
+    "up,down,pad",
+    [
+        (1, 1, (1, 1)),
+        (2, 1, (2, 1)),
+        (1, 2, (1, 1)),
+        (2, 2, (3, 2)),
+        (1, 1, (0, 0)),
+        (1, 1, (-1, 2)),  # negative pad = crop
+    ],
+)
+def test_upfirdn2d_matches_numpy_golden(up, down, pad):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)
+    k = np.asarray(make_kernel([1, 3, 3, 1]))
+    want = upfirdn2d_ref(x, k, up=up, down=down, pad=pad)
+    got = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=up, down=down, pad=pad))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_asymmetric_factors():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 2, 6, 5).astype(np.float32)
+    k = rng.rand(3, 4).astype(np.float32)
+    want = upfirdn2d_ref(x, k, up=(2, 1), down=(1, 2), pad=(1, 2, 2, 1))
+    got = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=(2, 1), down=(1, 2), pad=(1, 2, 2, 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_up_down_roundtrip_shapes():
+    x = jnp.ones((1, 4, 16, 16))
+    k = make_kernel([1, 3, 3, 1])
+    up = upsample2x(x, k)
+    assert up.shape == (1, 4, 32, 32)
+    down = downsample2x(up, k)
+    assert down.shape == (1, 4, 16, 16)
+    # DC gain 1: constant input stays (approximately) constant away from borders.
+    np.testing.assert_allclose(np.asarray(up)[0, 0, 8:24, 8:24], 1.0, rtol=1e-5)
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 7, 9).astype(np.float32)
+    grid = (rng.rand(2, 5, 6, 2).astype(np.float32) * 2.4) - 1.2  # include out-of-range
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(x),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    ).numpy()
+    got = np.asarray(grid_sample(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_higher_order_grads():
+    # The whole reason grid_sample_gradfix exists in the reference: second-order
+    # gradients through the sample op (eikonal-through-feature-lookup).
+    x = jnp.arange(16.0).reshape(1, 1, 4, 4)
+
+    def f(g):
+        grid = g.reshape(1, 1, 1, 2)
+        return grid_sample(x, grid).sum()
+
+    g = jnp.asarray([0.1, 0.2])
+    jax.grad(f)(g)  # first order
+    hess = jax.hessian(f)(g)  # second order must not raise
+    assert hess.shape == (2, 2)
+
+
+def test_interpolate_bilinear_matches_torch_align_corners():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 2, 5, 7).astype(np.float32)
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(9, 13), mode="bilinear", align_corners=True
+    ).numpy()
+    got = np.asarray(interpolate_bilinear(jnp.asarray(x), (9, 13), align_corners=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_leaky_relu_matches_definition():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 5, 3, 3).astype(np.float32)
+    b = rng.randn(5).astype(np.float32)
+    got = np.asarray(fused_leaky_relu(jnp.asarray(x), jnp.asarray(b)))
+    xb = x + b.reshape(1, 5, 1, 1)
+    want = np.where(xb >= 0, xb, 0.2 * xb) * np.sqrt(2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pos_encoding_dims_and_values():
+    x = jnp.asarray([[0.5, -0.25, 1.0]])
+    out = pos_encoding(x, n_freqs=7)
+    assert out.shape == (1, 45)  # 3 * (2*7 + 1), the reference's 45-dim PE
+    np.testing.assert_allclose(np.asarray(out[0, :3]), np.asarray(x[0]))
+    np.testing.assert_allclose(np.asarray(out[0, 3:6]), np.sin(np.asarray(x[0])), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[0, 6:9]), np.cos(np.asarray(x[0])), rtol=1e-6)
