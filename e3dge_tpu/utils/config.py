@@ -1,0 +1,226 @@
+"""Typed, hierarchical configuration for the E3DGE-TPU framework.
+
+Replaces the reference's ~230-flag configargparse tree (`project/utils/options.py`,
+groups cross-copied by `utils/setup/{base_setup,train_setup}.py`) with frozen
+dataclasses. Defaults mirror the released FFHQ configs; the named presets at the bottom
+correspond to the reference's de-facto config files (`scripts/test/*.sh`,
+`scripts/train/ffhq/stage*.sh`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Camera sampling (reference `options.py` camera group + camera_utils.py:8)."""
+
+    uniform: bool = False        # uniform vs gaussian (azim, elev) sampling
+    azim_range: float = 0.3      # radians (std when gaussian)
+    elev_range: float = 0.15
+    azim_mean: float = 0.0
+    elev_mean: float = 0.0
+    fov_ang: float = 6.0         # HALF fov in degrees (full fov = 12 deg)
+    dist_radius: float = 0.12    # near/far = 1 -/+ dist_radius
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Volume renderer / SIREN MLP (reference rendering group)."""
+
+    depth: int = 8               # FiLM-SIREN backbone layers
+    width: int = 256             # hidden width == feature map channels
+    style_dim: int = 256
+    out_im_res: int = 64         # thumb render resolution
+    n_samples: int = 24          # samples per ray
+    offset_sampling: bool = True   # eq.(3) offset sampling (vs NeRF stratified)
+    perturb: bool = True           # jitter z_vals during training
+    raw_noise_std: float = 0.0
+    static_viewdirs: bool = False
+    z_normalize: bool = True       # warp coords by 2/(2*dist_radius) -> [-1,1]
+    force_background: bool = True  # put leftover transmittance on last sample
+    with_sdf: bool = True          # SDF + sigmoid-Laplace density (vs raw density)
+    return_xyz: bool = True
+    output_features: bool = True
+    fg_mask_threshold: float = 1.08  # depth < 1.08 heuristic fg mask
+    # Local (E1) branch
+    enable_local_model: bool = False
+    local_modulation_layer: bool = True   # SFT (alpha+1)*h+beta before view layer
+    residual_local_feats_dim: int = 256 + 45  # hourglass feats + 45-dim PE
+    # 3D supervision sampling
+    sample_near_surface: bool = False
+    sample_uniform_grid: bool = False
+    uniform_grid_sampling_num: int = 2048
+    surface_sampling_stdv: float = 0.03
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """StyleGAN2 upsampler G1 (reference model group + Decoder, stylesdf_model.py:587)."""
+
+    size: int = 1024             # output resolution
+    style_dim: int = 512         # decoder w dim (2x renderer style_dim)
+    channel_multiplier: int = 2
+    channel_base: int = 512      # reference channel table scales off 512
+    lr_mapping: float = 0.01
+    in_res: int = 64             # == renderer out_im_res
+    in_channels: int = 256       # == renderer width (feature map channels)
+    project_noise: bool = False
+
+    def channels(self) -> dict[int, int]:
+        """StyleGAN2 channel table (reference stylesdf_model.py:614-624)."""
+        cb, cm = self.channel_base, self.channel_multiplier
+        return {
+            4: cb, 8: cb, 16: cb, 32: cb,
+            64: cb // 2 * cm, 128: cb // 4 * cm, 256: cb // 8 * cm,
+            512: cb // 16 * cm, 1024: cb // 32 * cm,
+        }
+
+    @property
+    def n_latent(self) -> int:
+        import math
+
+        return (int(math.log2(self.size)) - int(math.log2(self.in_res))) * 2 + 2
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """E0 FPN encoder (reference `HybridGradualStyleEncoder_V2`, fpn_encoders.py:266)."""
+
+    num_layers: int = 50         # IR-SE depth
+    mode: str = "ir_se"
+    input_nc: int = 3
+    input_res: int = 256
+    n_styles_pigan: int = 9      # renderer W+ rows
+    n_styles_decoder: int = 10   # decoder W+ rows
+    pigan_geo_layer: int = 6     # first 6 styles from p32 ("geo")
+    pigan_tex_layer: int = 9
+    fpn_pigan_geo_layer_dim: int = 32
+    fpn_pigan_tex_layer_dim: int = 64
+    single_decoder_layer: bool = True  # released config: 1 decoder block repeated x10
+    full_pipeline: bool = True
+
+
+@dataclass(frozen=True)
+class PifuConfig:
+    """E1 hourglass local filter (reference vendor/pifu/lib/options.py defaults used
+    by E3DGE: num_stack=4, hourglass depth 2, group-norm, 256 feats)."""
+
+    num_stack: int = 4
+    num_hourglass: int = 2
+    hourglass_dim: int = 256
+    hg_input_channel: int = 64
+    norm: str = "group"
+    hg_down: str = "ave_pool"
+    load_size: int = 256
+    z_size: float = 200.0
+    residual_context_feats: tuple[str, ...] = ("depth",)
+    netLocal_type: str = "HGPIFuNetGANResidualResnetFC"  # released inference ckpts
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Stage losses + optimization (reference training group, stage*.sh scripts)."""
+
+    batch: int = 4
+    lr: float = 1e-4
+    ada_lr: float = 1e-4
+    r1: float = 10.0
+    d_reg_every: int = 16
+    # loss lambdas (stage-dependent; defaults = stage 1)
+    l2_lambda: float = 1.0
+    lpips_lambda: float = 0.8
+    id_lambda: float = 0.1
+    latent_gt_lambda: float = 1.0
+    res_lambda: float = 1.0
+    adv_lambda: float = 0.0
+    shape_uniform_lambda: float = 0.1
+    shape_surface_lambda: float = 1.0
+    shape_normal_lambda: float = 0.05
+    eikonal_lambda: float = 0.1
+    # cycle training
+    cycle_training: bool = False
+    supervise_both_gen_imgs: bool = True
+
+
+@dataclass(frozen=True)
+class E3DGEConfig:
+    """Top-level config: one object instead of the reference's Munch-of-Munch tree."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    renderer: RendererConfig = field(default_factory=RendererConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    pifu: PifuConfig = field(default_factory=PifuConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    full_pipeline: bool = True   # decoder on top of renderer
+    dtype: Any = "float32"       # compute dtype for conv/matmul paths
+
+    def validate(self) -> "E3DGEConfig":
+        assert self.decoder.in_res == self.renderer.out_im_res
+        assert self.decoder.in_channels == self.renderer.width
+        assert self.decoder.style_dim == 2 * self.renderer.style_dim
+        return self
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _with(cfg: E3DGEConfig, **groups) -> E3DGEConfig:
+    """Functional update of nested groups: _with(cfg, renderer=dict(n_samples=10))."""
+    updates = {}
+    for name, vals in groups.items():
+        if isinstance(vals, dict):
+            updates[name] = replace(getattr(cfg, name), **vals)
+        else:
+            updates[name] = vals
+    return replace(cfg, **updates)
+
+
+# ---------------- named presets (the reference's shell scripts) ----------------
+
+
+def default_config() -> E3DGEConfig:
+    return E3DGEConfig().validate()
+
+
+def demo_view_synthesis_config() -> E3DGEConfig:
+    """scripts/test/demo_view_synthesis.sh: full runner + ResnetFC local branch."""
+    cfg = default_config()
+    return _with(
+        cfg,
+        renderer=dict(enable_local_model=True, perturb=False, raw_noise_std=0.0),
+    ).validate()
+
+
+def stage1_config() -> E3DGEConfig:
+    """scripts/train/ffhq/stage1.sh: E0 with 3D supervision, no local branch."""
+    cfg = default_config()
+    return _with(
+        cfg,
+        renderer=dict(sample_near_surface=True, sample_uniform_grid=True),
+    ).validate()
+
+
+def stage2_config() -> E3DGEConfig:
+    """scripts/train/ffhq/stage2.{1,2}.sh: cycle training with local branch."""
+    cfg = default_config()
+    return _with(
+        cfg,
+        renderer=dict(enable_local_model=True),
+        train=dict(cycle_training=True, latent_gt_lambda=0.0),
+    ).validate()
+
+
+def tiny_test_config() -> E3DGEConfig:
+    """Miniature config for unit tests / CPU CI: tiny everything, same code paths."""
+    cfg = E3DGEConfig(
+        renderer=RendererConfig(depth=2, width=32, style_dim=16, out_im_res=8, n_samples=4),
+        decoder=DecoderConfig(size=32, style_dim=32, channel_multiplier=1, channel_base=32, in_res=8, in_channels=32),
+        encoder=EncoderConfig(num_layers=50, input_res=64),
+        pifu=PifuConfig(num_stack=1, num_hourglass=1, hourglass_dim=16, hg_input_channel=8),
+    )
+    return cfg.validate()

@@ -1,0 +1,155 @@
+"""Tests for camera math, ray generation, volume integration, and the G0 renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3dge_tpu.models.volume_renderer import VolumeFeatureRenderer, eikonal_term
+from e3dge_tpu.render.camera import (
+    camera_params_from_angles,
+    project_points,
+    sample_camera_params,
+)
+from e3dge_tpu.render.integrate import volume_integrate
+from e3dge_tpu.render.rays import get_rays, rays_to_points, sample_z_vals
+from e3dge_tpu.utils.config import tiny_test_config
+
+
+def _cams(batch=2, res=8):
+    azim = jnp.asarray([0.1, -0.2][:batch])
+    elev = jnp.asarray([0.05, 0.0][:batch])
+    return camera_params_from_angles(azim, elev, res)
+
+
+def test_camera_invariants():
+    cam = _cams()
+    # c2w rotation inverts w2c rotation
+    r_c2w = cam.poses[:, :, :3]
+    r_w2c = cam.extrinsics[:, :, :3]
+    eye = np.eye(3)[None].repeat(2, 0)
+    np.testing.assert_allclose(np.asarray(r_c2w @ r_w2c), eye, atol=1e-5)
+    # camera sits on the unit sphere
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(cam.poses[:, :, 3]), axis=-1), 1.0, rtol=1e-5)
+    # near/far = 1 -/+ 0.12
+    np.testing.assert_allclose(np.asarray(cam.near).ravel(), 0.88, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam.far).ravel(), 1.12, rtol=1e-6)
+    # focal = 0.5 * res / tan(6 deg)
+    np.testing.assert_allclose(np.asarray(cam.focal).ravel(), 0.5 * 8 / np.tan(np.deg2rad(6.0)), rtol=1e-5)
+
+
+def test_project_origin_center_depth_one():
+    cam = _cams()
+    origin = jnp.zeros((2, 3, 1))
+    uvz = np.asarray(project_points(origin, cam.calibs))
+    # the scene origin projects to the image center (uv = 0,0) at depth = dist = 1
+    np.testing.assert_allclose(uvz[:, :2, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(uvz[:, 2, 0], 1.0, rtol=1e-5)
+
+
+def test_project_matches_pinhole_ray():
+    # A point one unit along a ray through pixel (u,v) must project back to (u,v).
+    cam = _cams(batch=1)
+    res = 8
+    rays_o, rays_d, _ = get_rays(cam.focal, cam.poses, res)
+    # take pixel (2, 5): ray param t=1.0
+    p = rays_o[0, 2, 5] + 1.0 * rays_d[0, 2, 5]
+    uvz = np.asarray(project_points(p.reshape(1, 3, 1), cam.calibs))
+    # uv convention: u = (i - res/2)/(res/2) at pixel center i=5.5 -> u=(5.5-4)/4;
+    # +v points UP (camera y), so image row j=2.5 -> v=+(4-2.5)/4. The PIFu query
+    # y-flips before grid_sample (reference HGPIFuGANNet.py:114-115).
+    np.testing.assert_allclose(uvz[0, 0, 0], (5.5 - 4.0) / 4.0, atol=1e-5)
+    np.testing.assert_allclose(uvz[0, 1, 0], (4.0 - 2.5) / 4.0, atol=1e-5)
+    np.testing.assert_allclose(uvz[0, 2, 0], 1.0, rtol=1e-4)
+
+
+def test_rays_shapes_and_directions():
+    cam = _cams()
+    rays_o, rays_d, viewdirs = get_rays(cam.focal, cam.poses, 8)
+    assert rays_o.shape == (2, 8, 8, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(viewdirs), axis=-1), 1.0, rtol=1e-5)
+    # central rays point roughly from camera to origin
+    center_dir = np.asarray(rays_d[:, 4, 4])
+    cam_pos = np.asarray(cam.poses[:, :, 3])
+    cos = (center_dir * -cam_pos).sum(-1) / (np.linalg.norm(center_dir, axis=-1) * np.linalg.norm(cam_pos, axis=-1))
+    assert (cos > 0.99).all()
+
+
+def test_z_vals_offset_and_stratified():
+    near = jnp.full((1, 4, 4), 0.88)
+    far = jnp.full((1, 4, 4), 1.12)
+    z = sample_z_vals(None, near, far, (1, 4, 4), 6, offset_sampling=True, perturb=False)
+    assert z.shape == (1, 4, 4, 6)
+    np.testing.assert_allclose(np.asarray(z[0, 0, 0, 0]), 0.88, rtol=1e-6)
+    # offset sampling: last sample is far - (far-near)/S
+    np.testing.assert_allclose(np.asarray(z[0, 0, 0, -1]), 1.12 - 0.24 / 6, rtol=1e-5)
+    zp = sample_z_vals(jax.random.key(0), near, far, (1, 4, 4), 6, offset_sampling=True, perturb=True)
+    assert ((np.asarray(zp) >= 0.88 - 1e-6) & (np.asarray(zp) <= 1.12 + 1e-6)).all()
+    # monotone along the sample axis
+    assert (np.diff(np.asarray(zp), axis=-1) > 0).all()
+
+
+def test_volume_integration_numpy_golden():
+    rng = np.random.RandomState(0)
+    B, H, W, S = 1, 2, 3, 5
+    rgb_raw = rng.randn(B, H, W, S, 3).astype(np.float32)
+    sdf = rng.randn(B, H, W, S, 1).astype(np.float32)
+    feats = rng.randn(B, H, W, S, 4).astype(np.float32)
+    z_vals = np.sort(rng.rand(B, H, W, S).astype(np.float32), axis=-1)
+    rays_d = rng.randn(B, H, W, 3).astype(np.float32)
+    pts = rng.randn(B, H, W, S, 3).astype(np.float32)
+    beta = 0.1
+
+    out = volume_integrate(
+        jnp.asarray(rgb_raw), jnp.asarray(sdf), jnp.asarray(feats), jnp.asarray(z_vals),
+        jnp.asarray(rays_d), jnp.asarray(pts), jnp.asarray(beta), force_background=True,
+    )
+
+    # independent numpy reimplementation
+    dists = np.concatenate([z_vals[..., 1:] - z_vals[..., :-1], np.full((B, H, W, 1), 1e10, np.float32)], -1)
+    dists = dists * np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sigma = (1.0 / (1.0 + np.exp(sdf / beta))) / beta
+    alpha = 1.0 - np.exp(-sigma * dists[..., None])
+    vis = np.cumprod(np.concatenate([np.ones_like(alpha[..., :1, :]), 1 - alpha + 1e-10], -2), -2)[..., :-1, :]
+    w = alpha * vis
+    w[..., -1, :] = 1 - w[..., :-1, :].sum(-2)
+    rgb = -1 + 2 * (w * (1 / (1 + np.exp(-rgb_raw)))).sum(-2)
+
+    np.testing.assert_allclose(np.asarray(out.weights), w, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rgb), rgb, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.features), (w * feats).sum(-2), rtol=1e-4, atol=1e-5)
+    # weights are a prob. distribution per ray under force_background
+    np.testing.assert_allclose(np.asarray(out.weights).sum(-2), 1.0, rtol=1e-4)
+
+
+def test_renderer_forward_and_eikonal():
+    cfg = tiny_test_config()
+    model = VolumeFeatureRenderer(cfg.renderer)
+    cam = _cams(batch=2, res=cfg.renderer.out_im_res)
+    styles = jax.random.normal(jax.random.key(1), (2, cfg.renderer.depth + 1, cfg.renderer.style_dim))
+    variables = model.init(jax.random.key(0), cam, styles)
+    out = model.apply(variables, cam, styles)
+
+    res, S = cfg.renderer.out_im_res, cfg.renderer.n_samples
+    assert out["gen_thumb_imgs"].shape == (2, 3, res, res)
+    assert out["features"].shape == (2, cfg.renderer.width, res, res)
+    assert out["sdf"].shape == (2, res, res, S, 1)
+    assert out["xyz"].shape == (2, res, res, 3)
+    v = np.asarray(out["gen_thumb_imgs"])
+    assert v.min() >= -1.0 - 1e-5 and v.max() <= 1.0 + 1e-5
+    np.testing.assert_allclose(np.asarray(out["hit_prob"]).sum(-2), 1.0, rtol=1e-4)
+
+    eik = eikonal_term(model.apply, variables, out["points"], styles)
+    assert eik.shape == out["points"].shape
+    assert np.abs(np.asarray(eik)).max() > 0
+
+
+def test_renderer_jit_and_random_cams():
+    cfg = tiny_test_config()
+    model = VolumeFeatureRenderer(cfg.renderer)
+    cam = sample_camera_params(jax.random.key(2), 2, cfg.renderer.out_im_res, cfg.camera)
+    styles = jax.random.normal(jax.random.key(1), (2, cfg.renderer.style_dim))  # broadcast w
+    variables = model.init(jax.random.key(0), cam, styles)
+    fwd = jax.jit(lambda v, c, s: model.apply(v, c, s)["gen_thumb_imgs"])
+    img = fwd(variables, cam, styles)
+    assert img.shape == (2, 3, cfg.renderer.out_im_res, cfg.renderer.out_im_res)
+    assert np.isfinite(np.asarray(img)).all()
