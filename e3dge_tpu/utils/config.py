@@ -94,6 +94,8 @@ class EncoderConfig:
     mode: str = "ir_se"
     input_nc: int = 3
     input_res: int = 256
+    style_dim: int = 256         # renderer W+ row dim
+    decoder_style_dim: int = 512
     n_styles_pigan: int = 9      # renderer W+ rows
     n_styles_decoder: int = 10   # decoder W+ rows
     pigan_geo_layer: int = 6     # first 6 styles from p32 ("geo")
@@ -220,7 +222,14 @@ def tiny_test_config() -> E3DGEConfig:
     cfg = E3DGEConfig(
         renderer=RendererConfig(depth=2, width=32, style_dim=16, out_im_res=8, n_samples=4),
         decoder=DecoderConfig(size=32, style_dim=32, channel_multiplier=1, channel_base=32, in_res=8, in_channels=32),
-        encoder=EncoderConfig(num_layers=50, input_res=64),
+        encoder=EncoderConfig(
+            num_layers=50,
+            input_res=64,
+            style_dim=16,
+            decoder_style_dim=32,
+            fpn_pigan_geo_layer_dim=8,
+            fpn_pigan_tex_layer_dim=16,
+        ),
         pifu=PifuConfig(num_stack=1, num_hourglass=1, hourglass_dim=16, hg_input_channel=8),
     )
     return cfg.validate()
