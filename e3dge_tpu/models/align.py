@@ -1,0 +1,152 @@
+"""Alignment & fusion modules for the E1 local branch.
+
+  * ResnetBlockFC        — pixelNeRF FC resblock (reference helper_modules/resnetfc.py)
+  * Fuse_sft_MLP         — CodeFormer-style SFT fusion of 2D-aligned and 3D-projected
+                           features (reference helper_modules/sft.py:84-109)
+  * ResidualAligner(ADA) — 2D alignment U-net: cat(residual, upsampled thumb) 6ch ->
+                           enc 16/32/48/64 bottleneck_IR -> dec with skips -> 3ch
+                           aligned residual (reference alignment_old.py:316-398)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e3dge_tpu.models.encoders.fpn import BatchNorm, PReLU, TorchConv
+from e3dge_tpu.ops import interpolate_bilinear
+
+
+class ResnetBlockFC(nn.Module):
+    """relu->fc0->relu->fc1 + (shortcut) (resnetfc.py:6-59).
+
+    zero_init replicates the modulation-head init of the released local net
+    (HGPIFuGANNetResidualInputResnetFC.py:89-93): everything zero so the block is an
+    exact no-op producer at the start of training.
+    """
+
+    size_out: int
+    size_h: int | None = None
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        size_in = x.shape[-1]
+        size_h = self.size_h or min(size_in, self.size_out)
+
+        def kaiming(key, shape):
+            fan_in = shape[1]
+            std = jnp.sqrt(2.0 / fan_in)
+            return std * jax.random.normal(key, shape)
+
+        w0_init = nn.initializers.zeros if self.zero_init else kaiming
+        w0 = self.param("fc_0_weight", w0_init, (size_h, size_in))
+        b0 = self.param("fc_0_bias", nn.initializers.zeros, (size_h,))
+        w1 = self.param("fc_1_weight", nn.initializers.zeros, (self.size_out, size_h))
+        b1 = self.param("fc_1_bias", nn.initializers.zeros, (self.size_out,))
+
+        net = jax.nn.relu(x) @ w0.T + b0
+        dx = jax.nn.relu(net) @ w1.T + b1
+
+        if size_in == self.size_out:
+            xs = x
+        else:
+            ws_init = nn.initializers.zeros if self.zero_init else kaiming
+            ws = self.param("shortcut_weight", ws_init, (self.size_out, size_in))
+            xs = x @ ws.T
+        return xs + dx
+
+
+class FuseSftMLP(nn.Module):
+    """SFT fusion: dec + w * (dec*scale(enc') + shift(enc')) where
+    enc' = ResnetBlockFC(cat(enc, dec)) (sft.py:84-109). Operates on last-axis
+    feature vectors (per 3D sample point)."""
+
+    out_ch: int = 256
+
+    @nn.compact
+    def __call__(self, enc_feat: jnp.ndarray, dec_feat: jnp.ndarray, w: float = 1.0) -> jnp.ndarray:
+        h = ResnetBlockFC(self.out_ch, name="encode_enc")(
+            jnp.concatenate([enc_feat, dec_feat], axis=-1)
+        )
+
+        def mlp(x, name):
+            x = nn.Dense(self.out_ch, name=f"{name}_0")(x)
+            x = jnp.where(x >= 0, x, 0.2 * x)
+            return nn.Dense(self.out_ch, name=f"{name}_2")(x)
+
+        scale = mlp(h, "scale")
+        shift = mlp(h, "shift")
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
+class BottleneckIRPlain(nn.Module):
+    """bottleneck_IR without SE, norm selectable (helpers.py:162-198)."""
+
+    depth: int
+    stride: int
+    norm: str = "batch"  # 'batch' | 'none'
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_channel = x.shape[1]
+
+        def maybe_norm(h, name):
+            if self.norm == "batch":
+                return BatchNorm(h.shape[1], self.axis_name, name=name)(h, train)
+            return h
+
+        if in_channel == self.depth:
+            shortcut = x[:, :, :: self.stride, :: self.stride]
+        else:
+            shortcut = TorchConv(self.depth, 1, stride=self.stride, use_bias=False, name="shortcut_conv")(x)
+            shortcut = maybe_norm(shortcut, "shortcut_bn")
+        res = maybe_norm(x, "bn1")
+        res = TorchConv(self.depth, 3, stride=1, padding=1, use_bias=False, name="conv1")(res)
+        res = PReLU(self.depth, name="prelu")(res)
+        res = TorchConv(self.depth, 3, stride=self.stride, padding=1, use_bias=False, name="conv2")(res)
+        res = maybe_norm(res, "bn2")
+        return res + shortcut
+
+
+class ResidualAligner(nn.Module):
+    """ADA — occlusion-aware 2D residual alignment U-net (alignment_old.py:316-398).
+
+    Input: cat(res_gt 3ch, upsampled query thumb 3ch) at 256^2; output: 3ch aligned
+    residual at the input resolution.
+    """
+
+    norm: str = "batch"
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        res = x.shape[-1]
+
+        def stage(h, chans, name):
+            for i, (depth, stride) in enumerate(chans):
+                h = BottleneckIRPlain(depth, stride, self.norm, self.axis_name, name=f"{name}_{i}")(h, train)
+            return h
+
+        feat1 = TorchConv(16, 3, padding=1, use_bias=False, name="conv_layer1_conv")(x)
+        if self.norm == "batch":
+            feat1 = BatchNorm(16, self.axis_name, name="conv_layer1_bn")(feat1, train)
+        feat1 = PReLU(16, name="conv_layer1_prelu")(feat1)
+
+        feat2 = stage(feat1, [(32, 2), (32, 1), (32, 1)], "conv_layer2")
+        feat3 = stage(feat2, [(48, 2), (48, 1), (48, 1)], "conv_layer3")
+        feat4 = stage(feat3, [(64, 2), (64, 1), (64, 1)], "conv_layer4")
+
+        # decoder with skip concats; sizes are input-relative (reference hardcodes
+        # 64/128/256 for a 256 input)
+        feat4 = interpolate_bilinear(feat4, (res // 4, res // 4), align_corners=False)
+        dfea1 = stage(jnp.concatenate([feat4, feat3], 1), [(64, 1), (32, 1), (32, 1)], "dconv_layer1")
+        dfea1 = interpolate_bilinear(dfea1, (res // 2, res // 2), align_corners=False)
+        dfea2 = stage(jnp.concatenate([dfea1, feat2], 1), [(32, 1), (16, 1), (16, 1)], "dconv_layer2")
+        dfea2 = interpolate_bilinear(dfea2, (res, res), align_corners=False)
+        dfea3 = stage(jnp.concatenate([dfea2, feat1], 1), [(16, 1), (3, 1), (3, 1)], "dconv_layer3")
+        return dfea3

@@ -1,0 +1,133 @@
+"""Stacked-hourglass image filter — the E1 local feature extractor.
+
+Mirrors the reference vendored PIFu `ConvBlock` / `HourGlass` / `HGFilter`
+(`project/vendor/pifu/lib/net_util.py:399-453`, `lib/model/HGFilters.py:6-188`) with
+the E3DGE configuration: num_stack=4, hourglass depth 2, group-norm(32), ave_pool
+downsampling, 256 feature channels, `hourglass_dim` output channels per stack.
+
+All convs run NCHW through TorchConv; norm is GroupNorm (the released configs use
+group norm, so no running stats / SyncBN concerns on this branch).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e3dge_tpu.models.encoders.fpn import TorchConv
+from e3dge_tpu.ops import interpolate_bilinear
+
+
+def _group_norm(channels: int, name: str):
+    # torch GroupNorm(32, C); for tiny test configs fall back to fewer groups
+    groups = 32 if channels % 32 == 0 and channels >= 32 else min(4, channels)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)
+
+
+def _gn(x: jnp.ndarray, channels: int, name: str) -> jnp.ndarray:
+    """GroupNorm over NCHW via NHWC transpose (must be called in compact context)."""
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    x = _group_norm(channels, name)(x)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+class ConvBlock(nn.Module):
+    """PIFu residual conv block: three 3x3 convs producing out/2 + out/4 + out/4
+    channels, concatenated, plus (1x1-projected) shortcut (net_util.py:399-453)."""
+
+    out_planes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_planes = x.shape[1]
+        o2, o4 = self.out_planes // 2, self.out_planes // 4
+
+        def gn(h, name):
+            c = h.shape[1]
+            h = jnp.transpose(h, (0, 2, 3, 1))
+            h = _group_norm(c, name)(h)
+            return jnp.transpose(h, (0, 3, 1, 2))
+
+        out1 = TorchConv(o2, 3, padding=1, use_bias=False, name="conv1")(jax.nn.relu(gn(x, "bn1")))
+        out2 = TorchConv(o4, 3, padding=1, use_bias=False, name="conv2")(jax.nn.relu(gn(out1, "bn2")))
+        out3 = TorchConv(o4, 3, padding=1, use_bias=False, name="conv3")(jax.nn.relu(gn(out2, "bn3")))
+        out = jnp.concatenate([out1, out2, out3], axis=1)
+
+        if in_planes != self.out_planes:
+            residual = TorchConv(self.out_planes, 1, use_bias=False, name="downsample_conv")(
+                jax.nn.relu(gn(x, "bn4"))
+            )
+        else:
+            residual = x
+        return out + residual
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    b, c, h, w = x.shape
+    return x.reshape(b, c, h // 2, 2, w // 2, 2).mean(axis=(3, 5))
+
+
+class HourGlass(nn.Module):
+    """Recursive hourglass (HGFilters.py:6-67), depth levels of pool/upsample."""
+
+    depth: int
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def recurse(level: int, inp: jnp.ndarray) -> jnp.ndarray:
+            up1 = ConvBlock(self.features, name=f"b1_{level}")(inp)
+            low1 = _avg_pool2(inp)
+            low1 = ConvBlock(self.features, name=f"b2_{level}")(low1)
+            if level > 1:
+                low2 = recurse(level - 1, low1)
+            else:
+                low2 = ConvBlock(self.features, name=f"b2_plus_{level}")(low1)
+            low3 = ConvBlock(self.features, name=f"b3_{level}")(low2)
+            # reference uses bicubic; bilinear align_corners=True is the closest
+            # XLA-friendly resampling and is what older PIFu releases used.
+            up2 = interpolate_bilinear(low3, (low3.shape[2] * 2, low3.shape[3] * 2), align_corners=True)
+            return up1 + up2
+
+        return recurse(self.depth, x)
+
+
+class HGFilter(nn.Module):
+    """Stacked hourglass filter (HGFilters.py:70-188), ave_pool stem variant.
+
+    Returns the LAST stack's feature map [B, hourglass_dim, H/4, W/4] — the reference
+    keeps only the final output at inference (HGPIFuNet.py:88-96).
+    """
+
+    num_stack: int = 4
+    num_hourglass: int = 2
+    hourglass_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_all_stacks: bool = False):
+        h = TorchConv(64, 7, stride=2, padding=3, name="conv1")(x)
+        h = _gn(h, 64, "bn1")
+        h = jax.nn.relu(h)
+        h = ConvBlock(128, name="conv2")(h)
+        h = _avg_pool2(h)
+        h = ConvBlock(128, name="conv3")(h)
+        h = ConvBlock(256, name="conv4")(h)
+
+        previous = h
+        outputs = []
+        for i in range(self.num_stack):
+            hg = HourGlass(self.num_hourglass, 256, name=f"m{i}")(previous)
+            ll = ConvBlock(256, name=f"top_m_{i}")(hg)
+            ll = TorchConv(256, 1, name=f"conv_last{i}")(ll)
+            ll = jax.nn.relu(_gn(ll, 256, f"bn_end{i}"))
+            tmp_out = TorchConv(self.hourglass_dim, 1, name=f"l{i}")(ll)
+            outputs.append(tmp_out)
+            if i < self.num_stack - 1:
+                ll2 = TorchConv(256, 1, name=f"bl{i}")(ll)
+                tmp_out_ = TorchConv(256, 1, name=f"al{i}")(tmp_out)
+                previous = previous + ll2 + tmp_out_
+
+        if return_all_stacks:
+            return outputs
+        return outputs[-1]

@@ -1,0 +1,148 @@
+"""E1 local network: residual+depth hourglass filter, pixel-aligned query, and
+zero-init SFT modulation head.
+
+Mirrors the reference `HGPIFuNetGAN` / `HGPIFuNetGANResidualResnetFC`
+(`project/vendor/pifu/lib/model/HGPIFuGANNet.py:18-436`,
+`HGPIFuGANNetResidualInputResnetFC.py:19-104`):
+
+  filter: residual RGB -> 32ch conv stack (InstanceNorm) (+ depth -> 32ch) -> concat
+          -> stacked hourglass -> [B, hourglass_dim, H/4, W/4] feature map
+  query:  project 3D points with uv calibs, y-flip to grid_sample convention,
+          bilinear-sample features, depth-normalize z
+  tex_modulations: 301-d (feats + 45 PE) -> zero-init ResnetBlockFC -> (alpha, beta)
+
+The query is a pure gather+lerp (ops/grid_sample.py), differentiable to any order.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e3dge_tpu.models.align import ResnetBlockFC
+from e3dge_tpu.models.encoders.fpn import TorchConv
+from e3dge_tpu.models.pifu.hourglass import HGFilter
+from e3dge_tpu.ops import grid_sample
+from e3dge_tpu.render.camera import project_points
+from e3dge_tpu.utils.config import PifuConfig
+
+
+def _reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="reflect")
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=True, no running stats) on NCHW."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.var(x, axis=(2, 3), keepdims=True)
+        h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return h * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+
+
+class ContextConv(nn.Module):
+    """conv3x3(reflect) -> ResidualBlock(InstanceNorm) -> conv1x1 — the residual/depth
+    context encoders (HGPIFuGANNetResidualInputResnetFC.py:36-45, helpers.py:318-358)."""
+
+    dim: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = TorchConv(self.dim, 3, padding=0, use_bias=False, name="conv_in")(_reflect_pad(x, 1))
+        # ResidualBlock: IN -> relu -> conv3x3(reflect) -> IN -> relu -> conv3x3(reflect)
+        r = InstanceNorm(self.dim, name="rb_norm1")(h)
+        r = jax.nn.relu(r)
+        r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv1")(_reflect_pad(r, 1))
+        r = InstanceNorm(self.dim, name="rb_norm2")(r)
+        r = jax.nn.relu(r)
+        r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv2")(_reflect_pad(r, 1))
+        h = h + r
+        return TorchConv(self.dim, 1, use_bias=False, name="conv_out")(h)
+
+
+def depth_normalize(z: jnp.ndarray, load_size: int = 256, z_size: float = 1.12) -> jnp.ndarray:
+    """z_feat = z * (loadSize/2) / z_size (reference DepthNormalizer.py:4-17,
+    released flags --loadSize 256 --z_size 1.12)."""
+    return z * (load_size // 2) / z_size
+
+
+def query_features(
+    im_feat: jnp.ndarray,   # [B, C, Hf, Wf]
+    points: jnp.ndarray,    # [B, 3, N] world space
+    calibs: jnp.ndarray,    # [B, 4, 4]
+    load_size: int = 256,
+    z_size: float = 1.12,
+) -> dict[str, jnp.ndarray]:
+    """Pixel-aligned feature lookup (HGPIFuGANNet.py:85-211, return_feat_only path).
+
+    Returns feats [B, C, N], z_condition [B, 1, N], proj_xy [B, 2, N],
+    depth [B, 1, N], in_img [B, N].
+    """
+    xyz = project_points(points, calibs)  # (u, v, depth), +v up
+    # flip y to grid_sample convention (left-top = (-1, -1)): HGPIFuGANNet.py:114-115
+    xy = jnp.stack([xyz[:, 0], -xyz[:, 1]], axis=1)  # [B, 2, N]
+    z = xyz[:, 2:3]
+
+    in_img = (
+        (xy[:, 0] >= -1.0) & (xy[:, 0] <= 1.0) & (xy[:, 1] >= -1.0) & (xy[:, 1] <= 1.0)
+    )
+
+    grid = jnp.transpose(xy, (0, 2, 1))[:, :, None, :]  # [B, N, 1, 2]
+    feats = grid_sample(im_feat, grid)[..., 0]  # [B, C, N]
+    z_feat = depth_normalize(z, load_size, z_size)
+    return {"feats": feats, "z_condition": z_feat, "proj_xy": xy, "depth": z, "in_img": in_img}
+
+
+class LocalFeatureNet(nn.Module):
+    """The released netLocal (`HGPIFuNetGANResidualResnetFC`)."""
+
+    cfg: PifuConfig
+    modulation_width: int = 256      # SIREN hidden width the SFT modulates
+    local_feats_dim: int = 256 + 45  # hourglass feats + PE dims
+
+    def setup(self):
+        c = self.cfg
+        self.residual_conv = ContextConv(32, name="residual_conv")
+        if "depth" in c.residual_context_feats:
+            self.depth_conv = ContextConv(32, name="depth_conv")
+        self.image_filter = HGFilter(
+            num_stack=c.num_stack,
+            num_hourglass=c.num_hourglass,
+            hourglass_dim=c.hourglass_dim,
+            name="image_filter",
+        )
+        # zero-init: modulations are an exact no-op at init
+        self.tex_modulation_head = ResnetBlockFC(
+            self.modulation_width * 2, zero_init=True, name="local_feat_to_tex_modulations"
+        )
+
+    def filter(self, residual_images: jnp.ndarray, depth_feat: jnp.ndarray | None = None) -> jnp.ndarray:
+        """[B, 3, H, W] residual (+ [B, 1, H, W] depth) -> hourglass feature map."""
+        feats = self.residual_conv(residual_images)
+        if depth_feat is not None:
+            feats = jnp.concatenate([feats, self.depth_conv(depth_feat)], axis=1)
+        return self.image_filter(feats)
+
+    def query(self, im_feat: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray) -> dict:
+        return query_features(im_feat, points, calibs, self.cfg.load_size, self.cfg.z_size)
+
+    def tex_modulations(self, local_feats: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """[..., local_feats_dim] -> (alpha, beta) each [..., modulation_width]."""
+        m = self.tex_modulation_head(local_feats)
+        return m[..., : self.modulation_width], m[..., self.modulation_width :]
+
+    def __call__(self, residual_images, depth_feat, points, calibs):
+        """Convenience end-to-end pass (used for init/shape checks). Touches the
+        modulation head so `init` materializes all params."""
+        im_feat = self.filter(residual_images, depth_feat)
+        out = self.query(im_feat, points, calibs)
+        dummy = jnp.zeros(out["feats"].shape[:1] + (self.local_feats_dim,))
+        self.tex_modulations(dummy)
+        return out

@@ -1,0 +1,87 @@
+"""Tests for the E1 local branch: hourglass filter, pixel-aligned query, ADA aligner,
+SFT fusion, and modulation head zero-init."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3dge_tpu.models.align import FuseSftMLP, ResidualAligner, ResnetBlockFC
+from e3dge_tpu.models.pifu.hourglass import HGFilter
+from e3dge_tpu.models.pifu.local_net import LocalFeatureNet, query_features
+from e3dge_tpu.render.camera import camera_params_from_angles
+from e3dge_tpu.utils.config import tiny_test_config
+
+
+def test_hgfilter_shapes():
+    model = HGFilter(num_stack=2, num_hourglass=1, hourglass_dim=16)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 32, 32))
+    v = model.init(jax.random.key(1), x)
+    out = model.apply(v, x)
+    assert out.shape == (1, 16, 8, 8)  # H/4, hourglass_dim channels
+    outs = model.apply(v, x, return_all_stacks=True)
+    assert len(outs) == 2
+
+
+def test_query_features_interpolation():
+    # a constant feature map must sample to that constant for in-image points
+    cam = camera_params_from_angles(jnp.asarray([0.0]), jnp.asarray([0.0]), 64)
+    im_feat = jnp.full((1, 4, 16, 16), 2.5)
+    # points near the origin project inside the image
+    pts = jnp.zeros((1, 3, 10)) + jnp.asarray([0.01, -0.02, 0.03]).reshape(1, 3, 1)
+    out = query_features(im_feat, pts, cam.calibs)
+    assert out["feats"].shape == (1, 4, 10)
+    np.testing.assert_allclose(np.asarray(out["feats"]), 2.5, rtol=1e-5)
+    assert np.asarray(out["in_img"]).all()
+    # depth condition ~ 1 * 128 / 1.12
+    np.testing.assert_allclose(np.asarray(out["z_condition"]).mean(), 128 / 1.12, rtol=0.05)
+
+
+def test_local_net_end_to_end_and_zero_init_modulations():
+    cfg = tiny_test_config()
+    model = LocalFeatureNet(cfg.pifu, modulation_width=cfg.renderer.width, local_feats_dim=cfg.pifu.hourglass_dim + 45)
+    res_img = jax.random.normal(jax.random.key(0), (1, 3, 32, 32))
+    depth = jax.random.normal(jax.random.key(1), (1, 1, 32, 32))
+    cam = camera_params_from_angles(jnp.asarray([0.0]), jnp.asarray([0.0]), 32)
+    pts = 0.05 * jax.random.normal(jax.random.key(2), (1, 3, 7))
+    v = model.init(jax.random.key(3), res_img, depth, pts, cam.calibs)
+    out = model.apply(v, res_img, depth, pts, cam.calibs)
+    assert out["feats"].shape == (1, cfg.pifu.hourglass_dim, 7)
+
+    # modulation head is zero-init: alpha = beta = 0 -> SFT is identity at init
+    feats = jax.random.normal(jax.random.key(4), (2, 5, cfg.pifu.hourglass_dim + 45))
+    alpha, beta = model.apply(v, feats, method=LocalFeatureNet.tex_modulations)
+    np.testing.assert_allclose(np.asarray(alpha), 0.0)
+    np.testing.assert_allclose(np.asarray(beta), 0.0)
+    assert alpha.shape == (2, 5, cfg.renderer.width)
+
+
+def test_resnet_block_fc_shortcut():
+    m = ResnetBlockFC(8)
+    x = jax.random.normal(jax.random.key(0), (3, 12))
+    v = m.init(jax.random.key(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (3, 8)
+    # fc_1 is zero-init -> output equals the shortcut projection
+    ws = np.asarray(v["params"]["shortcut_weight"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ ws.T, rtol=1e-5)
+
+
+def test_fuse_sft_mlp():
+    m = FuseSftMLP(out_ch=16)
+    enc = jax.random.normal(jax.random.key(0), (2, 6, 17))  # 16 + 1 vis mask
+    dec = jax.random.normal(jax.random.key(1), (2, 6, 16))
+    v = m.init(jax.random.key(2), enc, dec)
+    out = m.apply(v, enc, dec)
+    assert out.shape == (2, 6, 16)
+    # w=0 disables fusion entirely
+    out0 = m.apply(v, enc, dec, w=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(dec), rtol=1e-6)
+
+
+def test_residual_aligner():
+    m = ResidualAligner()
+    x = jax.random.normal(jax.random.key(0), (1, 6, 32, 32))
+    v = m.init(jax.random.key(1), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
