@@ -1,0 +1,282 @@
+"""E3DGE — the full inversion pipeline as one flax module.
+
+Composes E0 (FPN encoder) + frozen StyleSDF generator (G0 volume renderer + G1
+decoder) + E1 local branch (hourglass filter, pixel-aligned query, ADA aligner, SFT
+fusion) + the volume discriminator's viewpoint head as pose estimator.
+
+Method-by-method mirror of the reference runner APIs:
+  image2latents       — trainer.py:950-968 + _add_offset2latent (:989-1015)
+  image2camsettings   — trainer.py:935-947
+  encode_ref_images   — e3dge_full_runner.py:77-183
+  que_render_given_ref— e3dge_full_runner.py:185-317
+  image2image         — e3dge_2dalignonly_runner.py:303 (encode ref then re-render
+                        the same view through the full 2D+3D hybrid fusion path)
+
+Everything is a pure function of (variables, inputs, rng); all methods are reachable
+through `module.apply(..., method=...)` and jit/pjit-compatible. Unlike the reference
+there is no mutable `im_feat_dict` state — feature maps flow through the dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e3dge_tpu.models.align import FuseSftMLP, ResidualAligner
+from e3dge_tpu.models.discriminator import VolumeRenderDiscriminator
+from e3dge_tpu.models.encoders.fpn import HybridGradualStyleEncoderV2
+from e3dge_tpu.models.generator import Generator
+from e3dge_tpu.models.pifu.local_net import LocalFeatureNet
+from e3dge_tpu.ops import pos_encoding
+from e3dge_tpu.render.camera import CameraParams, camera_params_from_angles
+from e3dge_tpu.utils.config import E3DGEConfig
+
+
+class LatentMeans(NamedTuple):
+    """W+ mean latents the encoder offsets are added to (train_setup.py:296-308)."""
+
+    renderer: jnp.ndarray  # [1, 9, 256]
+    decoder: jnp.ndarray   # [1, 10, 512]
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:
+    """AdaptiveAvgPool2d for divisible sizes (the only case the pipeline hits)."""
+    b, c, h, w = x.shape
+    if h == out:
+        return x
+    if h > out:
+        f = h // out
+        return x.reshape(b, c, out, f, out, f).mean(axis=(3, 5))
+    f = out // h
+    return jnp.repeat(jnp.repeat(x, f, axis=2), f, axis=3)
+
+
+def upsample_nearest(x: jnp.ndarray, out: int) -> jnp.ndarray:
+    """F.interpolate(mode='nearest') to (out, out) — used for thumb 64->256
+    (e3dge_full_runner.py:114-115 uses torch's default nearest mode)."""
+    f = out // x.shape[-1]
+    return jnp.repeat(jnp.repeat(x, f, axis=2), f, axis=3)
+
+
+class E3DGE(nn.Module):
+    cfg: E3DGEConfig
+    axis_name: str | None = None
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = HybridGradualStyleEncoderV2(c.encoder, axis_name=self.axis_name, name="encoder")
+        self.generator = Generator(c, full_pipeline=c.full_pipeline, name="generator")
+        self.volume_discriminator = VolumeRenderDiscriminator(
+            init_size=c.renderer.out_im_res, name="volume_discriminator"
+        )
+        if c.renderer.enable_local_model:
+            self.local = LocalFeatureNet(
+                c.pifu,
+                modulation_width=c.renderer.width,
+                local_feats_dim=c.renderer.residual_local_feats_dim,
+                name="local",
+            )
+            self.grid_align = ResidualAligner(axis_name=self.axis_name, name="grid_align")
+            self.fuse_sft_block = FuseSftMLP(out_ch=c.pifu.hourglass_dim, name="fuse_sft_block")
+
+    # ------------------------------------------------------------------ latents
+
+    def mean_latent(self, key: jax.Array, n: int = 10000) -> LatentMeans:
+        r_mean, d_mean = self.generator.mean_latent(key, n)
+        c = self.cfg
+        return LatentMeans(
+            renderer=jnp.repeat(r_mean[:, None], c.renderer.depth + 1, axis=1),
+            decoder=jnp.repeat(d_mean[:, None], c.decoder.n_latent, axis=1),
+        )
+
+    def image2latents(self, images: jnp.ndarray, mean_latents: LatentMeans, train: bool = False):
+        """E0 forward; offsets + mean latents -> predicted W+ pair."""
+        c = self.cfg
+        input_imgs = adaptive_avg_pool(images, c.encoder.input_res)
+        out = self.encoder(input_imgs, train=train, return_featmap=True)
+        off_r, off_d = out["pred_latents"]
+        pred = [mean_latents.renderer + off_r, mean_latents.decoder + off_d]
+        out["pred_latents"] = pred
+        return out
+
+    def image2camsettings(self, images: jnp.ndarray) -> CameraParams:
+        """Pose estimation via the volume D viewpoint head."""
+        c = self.cfg
+        thumb = adaptive_avg_pool(images, c.renderer.out_im_res)
+        _, locations = self.volume_discriminator(thumb)
+        return camera_params_from_angles(
+            locations[:, 0], locations[:, 1], c.renderer.out_im_res, c.camera.fov_ang, c.camera.dist_radius
+        )
+
+    # ------------------------------------------------------------------ render
+
+    def latent2image(
+        self,
+        pred_latents,
+        camera: CameraParams,
+        local_conditions=None,
+        renderer_only: bool = False,
+        z_vals: jnp.ndarray | None = None,
+        key: jax.Array | None = None,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        return self.generator(
+            pred_latents,
+            camera,
+            key=key,
+            input_is_latent=True,
+            local_conditions=local_conditions,
+            renderer_only=renderer_only,
+            z_vals=z_vals,
+            train=train,
+        )
+
+    # ------------------------------------------------------------- E1 hot path
+
+    def encode_ref_images(
+        self,
+        images: jnp.ndarray,
+        mean_latents: LatentMeans,
+        camera: CameraParams | None = None,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        """Encode a reference view: latents, pose, global render, residual, and the
+        reference-view hourglass feature volume."""
+        c = self.cfg
+        input_imgs = adaptive_avg_pool(images, c.pifu.load_size)
+        encoder_out = self.image2latents(input_imgs, mean_latents, train=train)
+        pred_latents = encoder_out["pred_latents"]
+
+        cam = camera if camera is not None else self.image2camsettings(input_imgs)
+
+        render_out = self.latent2image(pred_latents, cam, renderer_only=True, train=train)
+        thumb_256 = upsample_nearest(render_out["gen_thumb_imgs"], c.pifu.load_size)
+        res_gt = jax.lax.stop_gradient(input_imgs - thumb_256)
+
+        # depth context: [B, H, W, 1, 1] -> [B, 1, 256, 256]
+        depth = jnp.transpose(render_out["depth"][..., 0], (0, 3, 1, 2))
+        depth_256 = upsample_nearest(depth, c.pifu.load_size)
+
+        ref_feat = self.local.filter(res_gt, depth_256)
+
+        return {
+            "ref_view_aligned_feat": ref_feat,
+            "imgs": input_imgs,
+            "cam_settings": cam,
+            "orig_res_gt": res_gt,
+            "global_render_out": render_out,
+            "res_gt": res_gt,
+            "encoder_out": encoder_out,
+            "pred_latents": pred_latents,
+        }
+
+    def que_render_given_ref(
+        self,
+        ref_info: dict[str, Any],
+        que_camera: CameraParams,
+        que_info: dict[str, Any] | None = None,
+        key: jax.Array | None = None,
+        train: bool = False,
+        fusion_weight: float = 1.0,
+    ) -> dict[str, Any]:
+        """Render a query view conditioned on the reference-view residual features:
+        3D-project ref feats + 2D-align query feats + visibility mask + SFT fusion +
+        PE -> SIREN tex modulations -> full-pipeline render."""
+        c = self.cfg
+        pred_latents = ref_info["pred_latents"]
+        ref_calibs = ref_info["cam_settings"].calibs
+
+        # 1. global render at the query view (gives points/depth/thumb)
+        if que_info is None:
+            que_info = self.latent2image(pred_latents, que_camera, renderer_only=True, key=key, train=train)
+        que_pts = que_info["points"]  # [B, H, W, S, 3]
+        B, H, W, S, _ = que_pts.shape
+        pts_B3N = jnp.transpose(que_pts.reshape(B, -1, 3), (0, 2, 1))
+
+        # 2. 3D-projected reference features (queried at REF calibs)
+        proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
+        feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+
+        # 3. visibility: project query surface xyz into the ref view
+        xyz_B3N = jnp.transpose(que_info["xyz"].reshape(B, -1, 3), (0, 2, 1))
+        ref_proj = self.local.query(ref_info["ref_view_aligned_feat"], xyz_B3N, ref_calibs)
+        vis_mask = ref_proj["in_img"].reshape(B, H, W, 1, 1).astype(que_pts.dtype)
+        vis_mask = jnp.repeat(vis_mask, S, axis=-2)
+
+        # 4. ADA 2D alignment at the query view + hourglass + query at QUE calibs
+        que_thumb_256 = upsample_nearest(que_info["gen_thumb_imgs"], c.pifu.load_size)
+        aligned_res = self.grid_align(
+            jnp.concatenate([ref_info["orig_res_gt"], que_thumb_256], axis=1), train=train
+        )
+        que_depth = jnp.transpose(que_info["depth"][..., 0], (0, 3, 1, 2))
+        que_depth_256 = upsample_nearest(que_depth, c.pifu.load_size)
+        que_feat = self.local.filter(aligned_res, que_depth_256)
+        proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
+        feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+
+        # 5. SFT fusion of (2D feats + vis mask) into 3D-projected feats, + PE
+        feature_2d = jnp.concatenate([feature_2d, vis_mask], axis=-1)
+        fused = self.fuse_sft_block(feature_2d, feature_3d, w=fusion_weight)
+        pe = pos_encoding(que_pts, n_freqs=7)
+        local_feats = jnp.concatenate([fused, pe], axis=-1)  # [B,H,W,S, 256+45]
+
+        # 6. modulations + final full-pipeline render on the SAME z_vals
+        alpha, beta = self.local.tex_modulations(local_feats)
+        res_render_out = self.latent2image(
+            pred_latents,
+            que_camera,
+            local_conditions=(alpha, beta),
+            z_vals=que_info["z_vals"],
+            key=key,
+            train=train,
+        )
+        return {
+            "res_render_out": res_render_out,
+            "aligned_res": aligned_res,
+            "in_img_mask": proj["in_img"].reshape(B, H, W, S, 1),
+            "que_info": que_info,
+        }
+
+    # --------------------------------------------------------------- user APIs
+
+    def image2image(
+        self,
+        images: jnp.ndarray,
+        mean_latents: LatentMeans,
+        camera: CameraParams | None = None,
+        train: bool = False,
+        key: jax.Array | None = None,
+    ) -> dict[str, Any]:
+        """Invert + reconstruct at the (estimated) input pose through the full
+        2D+3D hybrid path — the eval_2dmetrics path."""
+        ref_info = self.encode_ref_images(images, mean_latents, camera=camera, train=train)
+        out = self.que_render_given_ref(
+            ref_info, ref_info["cam_settings"], que_info=ref_info["global_render_out"], key=key, train=train
+        )
+        out["ref_info"] = ref_info
+        return out
+
+    def image2image_global(
+        self,
+        images: jnp.ndarray,
+        mean_latents: LatentMeans,
+        camera: CameraParams | None = None,
+        train: bool = False,
+        key: jax.Array | None = None,
+    ) -> dict[str, Any]:
+        """Global-only inversion (stage-1 path, no E1): E0 -> G0 -> G1."""
+        encoder_out = self.image2latents(images, mean_latents, train=train)
+        cam = camera if camera is not None else self.image2camsettings(images)
+        render_out = self.latent2image(encoder_out["pred_latents"], cam, key=key, train=train)
+        render_out["cam_settings"] = cam
+        render_out["pred_latents"] = encoder_out["pred_latents"]
+        return render_out
+
+    def __call__(self, images: jnp.ndarray, mean_latents: LatentMeans) -> dict[str, Any]:
+        """Init-friendly full pass touching every submodule."""
+        if self.cfg.renderer.enable_local_model:
+            return self.image2image(images, mean_latents)
+        return self.image2image_global(images, mean_latents)

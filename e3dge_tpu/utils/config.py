@@ -165,6 +165,12 @@ class E3DGEConfig:
         assert self.decoder.in_res == self.renderer.out_im_res
         assert self.decoder.in_channels == self.renderer.width
         assert self.decoder.style_dim == 2 * self.renderer.style_dim
+        assert self.encoder.style_dim == self.renderer.style_dim
+        assert self.encoder.decoder_style_dim == self.decoder.style_dim
+        assert self.encoder.n_styles_pigan == self.renderer.depth + 1
+        assert self.encoder.n_styles_decoder == self.decoder.n_latent
+        assert self.encoder.pigan_tex_layer == self.encoder.n_styles_pigan
+        assert self.renderer.residual_local_feats_dim == self.pifu.hourglass_dim + 45
         return self
 
     def to_dict(self) -> dict:
@@ -220,16 +226,29 @@ def stage2_config() -> E3DGEConfig:
 def tiny_test_config() -> E3DGEConfig:
     """Miniature config for unit tests / CPU CI: tiny everything, same code paths."""
     cfg = E3DGEConfig(
-        renderer=RendererConfig(depth=2, width=32, style_dim=16, out_im_res=8, n_samples=4),
+        renderer=RendererConfig(
+            depth=2, width=32, style_dim=16, out_im_res=8, n_samples=4,
+            residual_local_feats_dim=16 + 45,
+        ),
         decoder=DecoderConfig(size=32, style_dim=32, channel_multiplier=1, channel_base=32, in_res=8, in_channels=32),
         encoder=EncoderConfig(
             num_layers=50,
             input_res=64,
             style_dim=16,
             decoder_style_dim=32,
+            n_styles_pigan=3,
+            n_styles_decoder=6,
+            pigan_geo_layer=2,
+            pigan_tex_layer=3,
             fpn_pigan_geo_layer_dim=8,
             fpn_pigan_tex_layer_dim=16,
         ),
-        pifu=PifuConfig(num_stack=1, num_hourglass=1, hourglass_dim=16, hg_input_channel=8),
+        pifu=PifuConfig(num_stack=1, num_hourglass=1, hourglass_dim=16, hg_input_channel=8, load_size=32),
     )
     return cfg.validate()
+
+
+def tiny_full_config() -> E3DGEConfig:
+    """Tiny config with the E1 local branch enabled (full inference path in tests)."""
+    cfg = tiny_test_config()
+    return _with(cfg, renderer=dict(enable_local_model=True)).validate()

@@ -1,0 +1,126 @@
+"""End-to-end tests of the E3DGE inversion pipeline (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+from e3dge_tpu.render.camera import camera_params_from_angles
+from e3dge_tpu.utils.config import tiny_full_config, tiny_test_config
+
+
+def _mean_latents(cfg):
+    return LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+
+
+@pytest.fixture(scope="module")
+def global_pipeline():
+    cfg = tiny_test_config()
+    model = E3DGE(cfg)
+    images = jax.random.normal(jax.random.key(0), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    ml = _mean_latents(cfg)
+    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, images, ml)
+    return cfg, model, v, images, ml
+
+
+@pytest.fixture(scope="module")
+def full_pipeline():
+    cfg = tiny_full_config()
+    model = E3DGE(cfg)
+    images = jax.random.normal(jax.random.key(0), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    ml = _mean_latents(cfg)
+    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, images, ml)
+    return cfg, model, v, images, ml
+
+
+def test_image2latents_offsets(global_pipeline):
+    cfg, model, v, images, ml = global_pipeline
+    out = model.apply(v, images, ml, method=E3DGE.image2latents)
+    w_r, w_d = out["pred_latents"]
+    assert w_r.shape == (2, cfg.renderer.depth + 1, cfg.renderer.style_dim)
+    assert w_d.shape == (2, cfg.decoder.n_latent, cfg.decoder.style_dim)
+    # nonzero mean latent shifts predictions by exactly that mean
+    ml2 = LatentMeans(renderer=ml.renderer + 1.0, decoder=ml.decoder)
+    out2 = model.apply(v, images, ml2, method=E3DGE.image2latents)
+    np.testing.assert_allclose(np.asarray(out2["pred_latents"][0]), np.asarray(w_r) + 1.0, rtol=1e-5)
+
+
+def test_image2camsettings(global_pipeline):
+    cfg, model, v, images, ml = global_pipeline
+    cam = model.apply(v, images, method=E3DGE.image2camsettings)
+    assert cam.poses.shape == (2, 3, 4)
+    assert cam.calibs.shape == (2, 4, 4)
+    np.testing.assert_allclose(np.asarray(cam.near).ravel(), 0.88, rtol=1e-5)
+
+
+def test_global_inversion(global_pipeline):
+    cfg, model, v, images, ml = global_pipeline
+    out = model.apply(
+        v, images, ml, method=E3DGE.image2image_global, rngs={"noise": jax.random.key(3)}
+    )
+    assert out["gen_imgs"].shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
+    assert out["gen_thumb_imgs"].shape == (2, 3, cfg.renderer.out_im_res, cfg.renderer.out_im_res)
+
+
+def test_full_inversion_and_novel_view(full_pipeline):
+    cfg, model, v, images, ml = full_pipeline
+    out = model.apply(v, images, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(3)})
+    rec = out["res_render_out"]
+    assert rec["gen_imgs"].shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
+    assert np.isfinite(np.asarray(rec["gen_imgs"])).all()
+
+    # novel view: re-render the ref encoding from a different camera
+    ref_info = model.apply(v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)})
+    que_cam = camera_params_from_angles(
+        jnp.asarray([0.25, -0.25]), jnp.asarray([0.1, 0.0]), cfg.renderer.out_im_res
+    )
+    nv = model.apply(
+        v, ref_info, que_cam, method=E3DGE.que_render_given_ref, rngs={"noise": jax.random.key(5)}
+    )
+    assert nv["res_render_out"]["gen_imgs"].shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
+    assert nv["aligned_res"].shape == (2, 3, cfg.pifu.load_size, cfg.pifu.load_size)
+    assert np.isfinite(np.asarray(nv["res_render_out"]["gen_imgs"])).all()
+
+
+def test_full_inversion_jits(full_pipeline):
+    cfg, model, v, images, ml = full_pipeline
+
+    @jax.jit
+    def fwd(v, images, ml):
+        out = model.apply(v, images, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(0)})
+        return out["res_render_out"]["gen_imgs"]
+
+    img = fwd(v, images, ml)
+    assert img.shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
+
+
+def test_zero_init_modulations_match_global_render(full_pipeline):
+    """At init the SFT modulations are exact no-ops, so the E1-conditioned render must
+    equal the unconditioned full-pipeline render (same z_vals, same noise)."""
+    cfg, model, v, images, ml = full_pipeline
+    ref_info = model.apply(v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)})
+    out = model.apply(
+        v,
+        ref_info,
+        ref_info["cam_settings"],
+        ref_info["global_render_out"],
+        method=E3DGE.que_render_given_ref,
+        rngs={"noise": jax.random.key(7)},
+    )
+    plain = model.apply(
+        v,
+        ref_info["pred_latents"],
+        ref_info["cam_settings"],
+        None,
+        False,
+        ref_info["global_render_out"]["z_vals"],
+        method=E3DGE.latent2image,
+        rngs={"noise": jax.random.key(7)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["res_render_out"]["gen_imgs"]), np.asarray(plain["gen_imgs"]), atol=1e-5
+    )
