@@ -275,8 +275,78 @@ class E3DGE(nn.Module):
         render_out["pred_latents"] = encoder_out["pred_latents"]
         return render_out
 
+    # ------------------------------------------------- frozen-GAN data sampling
+
+    def query_sdf(self, pts: jnp.ndarray, styles: jnp.ndarray) -> jnp.ndarray:
+        """Functional SDF query (for eikonal grads / shape supervision / mesh)."""
+        return self.generator.query_sdf(pts, styles)
+
+    def synthetic_sample(
+        self,
+        key: jax.Array,
+        batch_size: int,
+        pose_scale: jnp.ndarray | float = 1.0,
+        pair_same_id: bool = False,
+        renderer_only: bool = False,
+    ) -> dict[str, Any]:
+        """GAN-as-dataset sampling (reference `DATASETGAN_3D.sample_with_rand_cams`,
+        utils/data_util.py:31-260): sample z (id-paired for cycle training), random
+        cameras under a progressive pose curriculum (`pose_scale` in [0, 1]), render
+        the frozen generator, and collect 3D-supervision samples (near-surface +
+        uniform-box SDF queries, volume_renderer.py:945-1003).
+
+        Gradients are stopped — this is data, not a differentiable path.
+        """
+        c = self.cfg
+        kz, ka, ke, kn, ku, kr = jax.random.split(key, 6)
+        z = jax.random.normal(kz, (batch_size, c.renderer.style_dim))
+        if pair_same_id:
+            # make_pair_same_noise (training_utils.py:21-29): odd/even share identity
+            z = jnp.repeat(z[::2], 2, axis=0)
+
+        cc = c.camera
+        azim = cc.azim_mean + pose_scale * cc.azim_range * jax.random.normal(ka, (batch_size,))
+        elev = cc.elev_mean + pose_scale * cc.elev_range * jax.random.normal(ke, (batch_size,))
+        cam = camera_params_from_angles(azim, elev, c.renderer.out_im_res, cc.fov_ang, cc.dist_radius)
+
+        render_out = self.generator([z], cam, key=kr, input_is_latent=False, renderer_only=renderer_only)
+        w = render_out["styles"]  # [B, style_dim] mapped latent (the latent_gt target)
+
+        near_pts, near_sdf, near_valid = self.generator.renderer.sample_near_surface_grid(
+            kn, render_out["xyz"], w, stdv=c.renderer.surface_sampling_stdv
+        )
+        uni_pts, uni_sdf, uni_valid = self.generator.renderer.sample_uniform_grid(
+            ku, batch_size, c.renderer.uniform_grid_sampling_num, w
+        )
+
+        batch = {
+            "images": render_out["gen_imgs"],
+            "thumb_images": render_out["gen_thumb_imgs"],
+            "cam_settings": cam,
+            "latent_gt": w,
+            "xyz": render_out["xyz"],
+            "depth": render_out["depth"],
+            "mask": render_out["mask"],
+            "sdf": render_out["sdf"],
+            "points": render_out["points"],
+            "z_vals": render_out["z_vals"],
+            "hit_prob": render_out["hit_prob"],
+            "near_pts": near_pts,
+            "near_sdf": near_sdf,
+            "near_valid": near_valid,
+            "uniform_pts": uni_pts,
+            "uniform_sdf": uni_sdf,
+            "uniform_valid": uni_valid,
+        }
+        return jax.tree.map(
+            lambda t: jax.lax.stop_gradient(t) if isinstance(t, jnp.ndarray) else t, batch
+        )
+
     def __call__(self, images: jnp.ndarray, mean_latents: LatentMeans) -> dict[str, Any]:
         """Init-friendly full pass touching every submodule."""
+        if self.is_initializing():
+            # materialize the z->w mapping networks (unused by the W+ hot path)
+            self.mean_latent(jax.random.key(0), 2)
         if self.cfg.renderer.enable_local_model:
             return self.image2image(images, mean_latents)
         return self.image2image_global(images, mean_latents)

@@ -1,0 +1,193 @@
+"""Losses & metrics (L5) — 2D reconstruction, 3D shape supervision, GAN losses.
+
+Mirrors the reference `project/losses/` package:
+  calc_2d_rec_loss   — builder.py:130-186 (MSE + LPIPS + ArcFace ID; MAE/PSNR/SSIM
+                        metrics)
+  calc_shape_rec_loss— builder.py:43-117 (SmoothL1 SDF / surface->0 / normal /
+                        eikonal, fg-mask gated by the runner)
+  GAN losses         — gan_loss.py:8-86 (softplus logistic, R1, viewpoint smooth-L1,
+                        eikonal + minimal-surface regularizers)
+
+LPIPS and ArcFace ID run as JAX networks (training/perceptual.py); PSNR/SSIM are
+implemented here (the reference calls kornia).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def l1(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def smooth_l1(pred, target, beta: float = 1.0):
+    """torch F.smooth_l1_loss (criterion3d_rec, builder.py)."""
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+
+
+def psnr(pred, target, max_val: float = 1.0):
+    """kornia.metrics.psnr equivalent; inputs in [0, 1]."""
+    m = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(max_val**2 / jnp.maximum(m, 1e-12))
+
+
+def _gaussian_kernel(window: int = 11, sigma: float = 1.5):
+    x = jnp.arange(window) - window // 2
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return g[:, None] * g[None, :]
+
+
+def ssim(pred, target, max_val: float = 1.0, window: int = 11):
+    """Mean SSIM over NCHW batches (kornia ssim(window=5 in reference eval uses 11
+    default; we follow the standard 11x1.5 gaussian)."""
+    k = _gaussian_kernel(window).reshape(window, window, 1, 1)
+    c = pred.shape[1]
+    k = jnp.tile(k, (1, 1, 1, c))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NCHW", "HWIO", "NCHW"), feature_group_count=c
+        )
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_p, mu_t = filt(pred), filt(target)
+    mu_p2, mu_t2, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
+    s_p = filt(pred * pred) - mu_p2
+    s_t = filt(target * target) - mu_t2
+    s_pt = filt(pred * target) - mu_pt
+    num = (2 * mu_pt + c1) * (2 * s_pt + c2)
+    den = (mu_p2 + mu_t2 + c1) * (s_p + s_t + c2)
+    return jnp.mean(num / den)
+
+
+# --------------------------------------------------------------- GAN losses
+
+
+def d_logistic_loss(real_pred, fake_pred):
+    """softplus(-real) + softplus(fake) (gan_loss.py)."""
+    return jnp.mean(jax.nn.softplus(-real_pred)) + jnp.mean(jax.nn.softplus(fake_pred))
+
+
+def g_nonsaturating_loss(fake_pred):
+    return jnp.mean(jax.nn.softplus(-fake_pred))
+
+
+def d_r1_penalty(d_apply: Callable, variables, real_imgs: jnp.ndarray) -> jnp.ndarray:
+    """R1 gradient penalty: E[||grad_x D(x)||^2] on reals."""
+
+    def score(x):
+        return jnp.sum(d_apply(variables, x))
+
+    grad = jax.grad(score)(real_imgs)
+    return jnp.sum(grad**2) / real_imgs.shape[0]
+
+
+def viewpoint_loss(pred_viewpoint, gt_viewpoint):
+    """smooth-L1 on (azim, elev) regression (gan_loss.py viewpoint loss)."""
+    return smooth_l1(pred_viewpoint, gt_viewpoint)
+
+
+def eikonal_loss(eikonal_term, sdf=None, beta: float = 100.0):
+    """(||grad sdf|| - 1)^2 + minimal-surface exp(-beta*|sdf|) (gan_loss.py:69-80)."""
+    eik = jnp.mean((jnp.linalg.norm(eikonal_term, axis=-1) - 1.0) ** 2)
+    if sdf is None:
+        minimal_surface = jnp.asarray(0.0)
+    else:
+        minimal_surface = jnp.mean(jnp.exp(-beta * jnp.abs(sdf)))
+    return eik, minimal_surface
+
+
+# ------------------------------------------------------- composite criteria
+
+
+def calc_2d_rec_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    lambdas: dict[str, float],
+    lpips_fn: Callable | None = None,
+    id_fn: Callable | None = None,
+    gt_for_id: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """MSE + LPIPS + ID loss with MAE/PSNR/SSIM metrics (builder.py:130-186).
+
+    Images in [-1, 1]. lpips_fn(pred, gt) -> scalar; id_fn(pred, gt) -> (loss, sim).
+    """
+    loss_dict = {}
+    l2 = mse(pred, gt)
+    loss = lambdas.get("l2_lambda", 1.0) * l2
+    loss_dict["loss_l2"] = l2
+
+    if lpips_fn is not None and lambdas.get("lpips_lambda", 0.0) > 0:
+        lp = lpips_fn(pred, gt)
+        loss = loss + lambdas["lpips_lambda"] * lp
+        loss_dict["loss_lpips"] = lp
+
+    if id_fn is not None and lambdas.get("id_lambda", 0.0) > 0:
+        id_loss, id_sim = id_fn(pred, gt_for_id if gt_for_id is not None else gt)
+        loss = loss + lambdas["id_lambda"] * id_loss
+        loss_dict["loss_id"] = id_loss
+        loss_dict["id_sim"] = id_sim
+
+    # metrics (reported, not optimized) on [0, 1] range
+    pred01 = (pred + 1.0) / 2.0
+    gt01 = (gt + 1.0) / 2.0
+    loss_dict["mae"] = l1(pred01, gt01)
+    loss_dict["psnr"] = psnr(pred01, gt01)
+    loss_dict["ssim"] = ssim(pred01, gt01)
+    loss_dict["loss_2d"] = loss
+    return loss, loss_dict
+
+
+def calc_shape_rec_loss(
+    pred_shape: dict[str, Any],
+    gt_shape: dict[str, Any],
+    lambdas: dict[str, float],
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """3D shape supervision vs frozen-GAN geometry (builder.py:43-117).
+
+    pred/gt dicts carry: uniform_points_sdf (+ valid masks applied upstream),
+    surface_sdf (pred only, target 0), surface_eikonal_term, eikonal_term.
+    """
+    loss_dict = {}
+    loss = jnp.asarray(0.0)
+
+    if lambdas.get("shape_uniform_lambda", 0.0) > 0:
+        sdf_rec = smooth_l1(
+            pred_shape["uniform_points_sdf"].squeeze(), gt_shape["uniform_points_sdf"].squeeze()
+        )
+        loss_dict["sdf_rec_loss"] = sdf_rec * lambdas["shape_uniform_lambda"]
+        loss = loss + loss_dict["sdf_rec_loss"]
+
+    if lambdas.get("shape_surface_lambda", 0.0) > 0 and "surface_sdf" in pred_shape:
+        surf = smooth_l1(pred_shape["surface_sdf"], jnp.zeros_like(pred_shape["surface_sdf"]))
+        loss_dict["surf_rec_loss"] = surf * lambdas["shape_surface_lambda"]
+        loss = loss + loss_dict["surf_rec_loss"]
+
+    if lambdas.get("shape_normal_lambda", 0.0) > 0 and "surface_eikonal_term" in pred_shape:
+        norm_rec = smooth_l1(
+            pred_shape["surface_eikonal_term"].squeeze(), gt_shape["surface_eikonal_term"].squeeze()
+        )
+        loss_dict["surface_norm_rec_loss"] = norm_rec * lambdas["shape_normal_lambda"]
+        loss = loss + loss_dict["surface_norm_rec_loss"]
+
+    if lambdas.get("eikonal_lambda", 0.0) > 0 and "eikonal_term" in pred_shape:
+        eik, _ = eikonal_loss(pred_shape["eikonal_term"])
+        loss_dict["eikonal_term"] = eik * lambdas["eikonal_lambda"]
+        loss = loss + loss_dict["eikonal_term"]
+
+    loss_dict["loss_shape"] = loss
+    return loss, loss_dict

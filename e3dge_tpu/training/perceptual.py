@@ -1,0 +1,120 @@
+"""Perceptual networks: LPIPS (AlexNet) and ArcFace identity loss, in JAX.
+
+The reference downloads pretrained torch weights (`losses/lpips/lpips.py:17`,
+`losses/id_loss.py:7` + `encoders/model_irse.py`); here the same architectures are
+implemented in flax so those weights can be ingested by utils/torch_ckpt.py. With
+random init the losses are still valid smooth image-similarity surrogates, which is
+what the unit tests and throughput benchmarks exercise.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from e3dge_tpu.models.encoders.fpn import BatchNorm, BottleneckIRSE, PReLU, TorchConv, get_blocks
+from e3dge_tpu.ops.grid_sample import interpolate_bilinear
+
+# LPIPS input scaling constants (lpips networks.py ScalingLayer)
+_LPIPS_SHIFT = jnp.asarray([-0.030, -0.088, -0.188]).reshape(1, 3, 1, 1)
+_LPIPS_SCALE = jnp.asarray([0.458, 0.448, 0.450]).reshape(1, 3, 1, 1)
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet .features trunk, returning the 5 relu taps."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        taps = []
+
+        def conv(h, ch, k, s, p, name):
+            return TorchConv(ch, k, stride=s, padding=p, name=name)(h)
+
+        def maxpool(h):
+            # torch MaxPool2d(3, stride=2) on NCHW
+            return jnp.transpose(
+                nn.max_pool(jnp.transpose(h, (0, 2, 3, 1)), (3, 3), strides=(2, 2)), (0, 3, 1, 2)
+            )
+
+        h = jax.nn.relu(conv(x, 64, 11, 4, 2, "conv0"))
+        taps.append(h)
+        h = maxpool(h)
+        h = jax.nn.relu(conv(h, 192, 5, 1, 2, "conv1"))
+        taps.append(h)
+        h = maxpool(h)
+        h = jax.nn.relu(conv(h, 384, 3, 1, 1, "conv2"))
+        taps.append(h)
+        h = jax.nn.relu(conv(h, 256, 3, 1, 1, "conv3"))
+        taps.append(h)
+        h = jax.nn.relu(conv(h, 256, 3, 1, 1, "conv4"))
+        taps.append(h)
+        return taps
+
+
+class LPIPS(nn.Module):
+    """LPIPS v0.1 (alex): unit-normalize tap channels, squared diff, 1x1 linear
+    heads, spatial mean, sum over taps (reference losses/lpips/lpips.py)."""
+
+    channels: Sequence[int] = (64, 192, 384, 256, 256)
+
+    @nn.compact
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        net = AlexNetFeatures(name="net")
+
+        def scale(x):
+            return (x - _LPIPS_SHIFT) / _LPIPS_SCALE
+
+        f_pred = net(scale(pred))
+        f_tgt = net(scale(target))
+
+        total = 0.0
+        for i, (fp, ft) in enumerate(zip(f_pred, f_tgt)):
+            fp = fp * jax.lax.rsqrt(jnp.sum(fp**2, axis=1, keepdims=True) + 1e-10)
+            ft = ft * jax.lax.rsqrt(jnp.sum(ft**2, axis=1, keepdims=True) + 1e-10)
+            diff = (fp - ft) ** 2
+            w = self.param(f"lin{i}_weight", nn.initializers.ones, (1, self.channels[i], 1, 1))
+            # 1x1 conv with non-negative weights == weighted channel sum
+            total = total + jnp.mean(jnp.sum(jnp.abs(w) * diff, axis=1))
+        return total
+
+
+class ArcFaceBackbone(nn.Module):
+    """IR-SE-50 face embedding (reference encoders/model_irse.py): 112x112 input,
+    512-d l2-normalized output."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = TorchConv(64, 3, stride=1, padding=1, use_bias=False, name="input_conv")(x)
+        h = BatchNorm(64, name="input_bn")(h)
+        h = PReLU(64, name="input_prelu")(h)
+        for i, spec in enumerate(get_blocks(50)):
+            h = BottleneckIRSE(spec.in_channel, spec.depth, spec.stride, name=f"body_{i}")(h)
+        h = BatchNorm(512, name="output_bn")(h)
+        h = h.reshape(h.shape[0], -1)
+        w = self.param("output_weight", nn.initializers.lecun_normal(), (512, h.shape[-1]))
+        b = self.param("output_bias", nn.initializers.zeros, (512,))
+        h = h @ w.T + b
+        return h * jax.lax.rsqrt(jnp.sum(h**2, axis=-1, keepdims=True) + 1e-10)
+
+
+class IDLoss(nn.Module):
+    """ArcFace cosine-similarity loss with the reference's face crop
+    (id_loss.py:24: rows 35:223, cols 32:220 of the 256 image, pooled to 112)."""
+
+    @nn.compact
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray):
+        backbone = ArcFaceBackbone(name="facenet")
+
+        def embed(img):
+            if img.shape[-1] >= 224:
+                img = img[:, :, 35:223, 32:220]
+            img = interpolate_bilinear(img, (112, 112), align_corners=False)
+            return backbone(img)
+
+        e_pred = embed(pred)
+        e_tgt = embed(target)
+        sim = jnp.sum(e_pred * e_tgt, axis=-1)
+        return jnp.mean(1.0 - sim), jnp.mean(sim)

@@ -1,0 +1,306 @@
+"""Training steps for the 3-stage E3DGE recipe.
+
+Mirrors the reference runners (SURVEY.md §2/§3):
+  stage 1   — AERunner.synthetic_forward (trainer.py:654-736): E0 on frozen-GAN
+              samples with 2D rec + latent-gt + 3D shape supervision.
+  stage 2   — E3DGE_2DAlignOnly/Full cycle training
+              (e3dge_2dalignonly_runner.py:354-465): id-paired synthetic views,
+              odd/even view swap, cross-view reconstruction through the E1 branch,
+              aligned-residual L1.
+  D step    — _train_discriminator_step (trainer.py:1100-1195): logistic loss + R1 +
+              viewpoint regression on the volume D.
+
+All steps are pure (state, batch, rng) -> (state, metrics) functions. Freezing is
+expressed by partitioning the param tree: gradients are only taken w.r.t. the
+trainable subtree (the frozen generator still backprops *through*, exactly like
+torch's requires_grad_(False) plumbing in trainer.py:1568-1680, but no grads are
+materialized for it).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from e3dge_tpu.models.e3dge import E3DGE, LatentMeans, adaptive_avg_pool
+from e3dge_tpu.training import losses as L
+
+STAGE1_TRAINABLE = ("encoder",)
+STAGE21_TRAINABLE = ("local", "grid_align")
+STAGE22_TRAINABLE = ("local", "grid_align", "fuse_sft_block")
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any            # trainable subtree
+    frozen: Any            # frozen subtree (generator, ...)
+    extra: Any             # non-param collections (batch_stats)
+    opt_state: Any
+
+
+def split_params(params: dict, trainable_keys: Sequence[str]):
+    trainable = {k: v for k, v in params.items() if k in trainable_keys}
+    frozen = {k: v for k, v in params.items() if k not in trainable_keys}
+    return trainable, frozen
+
+
+def make_optimizer(lr: float = 1e-4, name: str = "adam") -> optax.GradientTransformation:
+    """Adam (reference default betas (0.9, 0.999)) or a Ranger-equivalent
+    (RAdam + Lookahead, reference utils/ranger.py)."""
+    if name == "adam":
+        return optax.adam(lr, b1=0.9, b2=0.999)
+    if name == "ranger":
+        return optax.chain(optax.scale_by_radam(), optax.scale(-lr))
+    raise ValueError(name)
+
+
+def create_train_state(
+    variables: dict, trainable_keys: Sequence[str], tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    trainable, frozen = split_params(params, trainable_keys)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=trainable,
+        frozen=frozen,
+        extra=extra,
+        opt_state=tx.init(trainable),
+    )
+
+
+def _variables(state: TrainState) -> dict:
+    return {"params": {**state.frozen, **state.params}, **state.extra}
+
+
+def _swap_odd_even(x):
+    """Swap entries 0<->1, 2<->3, ... along axis 0 (reference
+    _swap_odd_even_index_view, training_utils.py:98-119)."""
+    n = x.shape[0]
+    idx = jnp.arange(n) + jnp.where(jnp.arange(n) % 2 == 0, 1, -1)
+    return jnp.take(x, idx, axis=0)
+
+
+def swap_tree(tree):
+    return jax.tree.map(_swap_odd_even, tree)
+
+
+# --------------------------------------------------------------------- stage 1
+
+
+def make_stage1_step(
+    model: E3DGE,
+    lambdas: dict[str, float],
+    tx: optax.GradientTransformation,
+    lpips_fn: Callable | None = None,
+    id_fn: Callable | None = None,
+    pose_scale_schedule: Callable[[jnp.ndarray], jnp.ndarray] = lambda step: jnp.asarray(1.0),
+):
+    """Stage-1: train E0 against the frozen GAN with pixel + latent + 3D shape sup."""
+    batch_size = None  # static per trace
+
+    def loss_fn(trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+        variables = {"params": {**state.frozen, **trainable}, **state.extra}
+        k_data, k_noise = jax.random.split(rng)
+
+        batch = model.apply(
+            variables,
+            k_data,
+            bs,
+            pose_scale_schedule(state.step),
+            method=E3DGE.synthetic_sample,
+            rngs={"noise": k_noise},
+        )
+
+        out, mutated = model.apply(
+            variables,
+            batch["images"],
+            mean_latents,
+            batch["cam_settings"],
+            True,  # train (BN batch stats update, synced across 'dp' when present)
+            method=E3DGE.image2image_global,
+            rngs={"noise": k_noise},
+            mutable=["batch_stats"],
+        )
+
+        res = min(out["gen_imgs"].shape[-1], 256)
+        loss_2d, m2d = L.calc_2d_rec_loss(
+            adaptive_avg_pool(out["gen_imgs"], res),
+            adaptive_avg_pool(batch["images"], res),
+            lambdas,
+            lpips_fn=lpips_fn,
+            id_fn=id_fn,
+        )
+        thumb_loss, _ = L.calc_2d_rec_loss(
+            out["gen_thumb_imgs"], batch["thumb_images"], {"l2_lambda": lambdas.get("l2_lambda", 1.0)}
+        )
+        loss = loss_2d + thumb_loss
+
+        # latent-gt: pred renderer W+ rows vs the true sampled w (trainer.py:710-726)
+        if lambdas.get("latent_gt_lambda", 0.0) > 0:
+            w_gt = batch["latent_gt"][:, None]  # [B, 1, D] broadcasts over rows
+            latent_loss = L.mse(out["pred_latents"][0], jnp.broadcast_to(w_gt, out["pred_latents"][0].shape))
+            loss = loss + lambdas["latent_gt_lambda"] * latent_loss
+            m2d["latent_gt"] = latent_loss
+
+        # 3D shape supervision: re-query the frozen field with PRED latents at the
+        # GT sample points (trainer.py:1050-1098)
+        pred_w = out["pred_latents"][0]
+
+        def sdf_at(pts):
+            return model.apply(variables, pts, pred_w, method=E3DGE.query_sdf)
+
+        pred_shape = {
+            "uniform_points_sdf": sdf_at(batch["uniform_pts"]) * batch["uniform_valid"],
+            "surface_sdf": sdf_at(batch["xyz"]) * batch["mask"][..., 0, :],
+        }
+        gt_shape = {"uniform_points_sdf": batch["uniform_sdf"] * batch["uniform_valid"]}
+        if lambdas.get("shape_normal_lambda", 0.0) > 0 or lambdas.get("eikonal_lambda", 0.0) > 0:
+            grad_fn = jax.grad(lambda p: sdf_at(p).sum())
+            pred_eik = grad_fn(batch["near_pts"])
+            gt_eik = jax.lax.stop_gradient(
+                jax.grad(lambda p: model.apply(variables, p, batch["latent_gt"], method=E3DGE.query_sdf).sum())(
+                    batch["near_pts"]
+                )
+            )
+            pred_shape["surface_eikonal_term"] = pred_eik * batch["near_valid"]
+            pred_shape["eikonal_term"] = pred_eik
+            gt_shape["surface_eikonal_term"] = gt_eik * batch["near_valid"]
+        loss_shape, mshape = L.calc_shape_rec_loss(pred_shape, gt_shape, lambdas)
+        loss = loss + loss_shape
+
+        metrics = {**m2d, **mshape, "loss": loss, "thumb_rec": thumb_loss}
+        return loss, (metrics, mutated)
+
+    def train_step(state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+        (_, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, mean_latents, rng, bs
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        extra = {**state.extra, **mutated}
+        new_state = state._replace(step=state.step + 1, params=params, extra=extra, opt_state=opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------- stage 2
+
+
+def make_cycle_step(
+    model: E3DGE,
+    lambdas: dict[str, float],
+    tx: optax.GradientTransformation,
+    lpips_fn: Callable | None = None,
+    id_fn: Callable | None = None,
+):
+    """Stage-2 cycle training: id-paired views, odd/even swap, cross-view
+    reconstruction through the E1 local branch (e3dge_2dalignonly_runner.py:354-465)."""
+
+    def loss_fn(trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+        variables = {"params": {**state.frozen, **trainable}, **state.extra}
+        k_data, k_noise = jax.random.split(rng)
+
+        batch = model.apply(
+            variables, k_data, bs, 1.0, True, method=E3DGE.synthetic_sample, rngs={"noise": k_noise}
+        )
+
+        ref_info = model.apply(
+            variables,
+            batch["images"],
+            mean_latents,
+            batch["cam_settings"],
+            method=E3DGE.encode_ref_images,
+            rngs={"noise": k_noise},
+        )
+
+        # swap odd/even: view B becomes the query view for identity A
+        que_cam = swap_tree(batch["cam_settings"])
+        que_images = swap_tree(batch["images"])
+        que_out = model.apply(
+            variables,
+            ref_info,
+            que_cam,
+            method=E3DGE.que_render_given_ref,
+            rngs={"noise": k_noise},
+        )
+        rec = que_out["res_render_out"]
+
+        res = min(rec["gen_imgs"].shape[-1], 256)
+        loss_2d, m2d = L.calc_2d_rec_loss(
+            adaptive_avg_pool(rec["gen_imgs"], res),
+            adaptive_avg_pool(que_images, res),
+            lambdas,
+            lpips_fn=lpips_fn,
+            id_fn=id_fn,
+        )
+        loss = loss_2d
+
+        if lambdas.get("supervise_both_gen_imgs", 1.0) > 0:
+            thumb_loss, _ = L.calc_2d_rec_loss(
+                rec["gen_thumb_imgs"],
+                swap_tree(batch["thumb_images"]),
+                {"l2_lambda": lambdas.get("l2_lambda", 1.0)},
+            )
+            loss = loss + thumb_loss
+            m2d["thumb_rec"] = thumb_loss
+
+        # aligned residual should match the QUERY view's ground-truth residual
+        # (e3dge_2dalignonly_runner.py:427-432)
+        if lambdas.get("res_lambda", 0.0) > 0:
+            que_res_gt = swap_tree(ref_info["orig_res_gt"])
+            res_loss = L.l1(que_out["aligned_res"], que_res_gt)
+            loss = loss + lambdas["res_lambda"] * res_loss
+            m2d["res_loss"] = res_loss
+
+        m2d["loss"] = loss
+        return loss, m2d
+
+    def train_step(state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, mean_latents, rng, bs
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------- D step
+
+
+def make_volume_d_step(model: E3DGE, lambdas: dict[str, float], tx: optax.GradientTransformation):
+    """Volume-D adversarial step with viewpoint regression + R1 (trainer.py:1100-1195)."""
+
+    def d_apply(variables, imgs):
+        gan, _ = model.apply(variables, imgs, method=lambda m, x: m.volume_discriminator(x))
+        return gan
+
+    def loss_fn(trainable, state: TrainState, real_thumbs, real_viewpoints, fake_thumbs):
+        variables = {"params": {**state.frozen, **trainable}, **state.extra}
+        real_pred, real_vp = model.apply(variables, real_thumbs, method=lambda m, x: m.volume_discriminator(x))
+        fake_pred, _ = model.apply(variables, fake_thumbs, method=lambda m, x: m.volume_discriminator(x))
+        loss = L.d_logistic_loss(real_pred, fake_pred)
+        vp_loss = L.viewpoint_loss(real_vp, real_viewpoints)
+        loss = loss + lambdas.get("viewpoint_lambda", 1.0) * vp_loss
+        if lambdas.get("r1", 0.0) > 0:
+            r1 = L.d_r1_penalty(d_apply, variables, real_thumbs)
+            loss = loss + lambdas["r1"] / 2.0 * r1
+        return loss, {"d_loss": loss, "viewpoint": vp_loss}
+
+    def train_step(state: TrainState, real_thumbs, real_viewpoints, fake_thumbs):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, real_thumbs, real_viewpoints, fake_thumbs
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step
