@@ -198,9 +198,15 @@ def make_cycle_step(
     tx: optax.GradientTransformation,
     lpips_fn: Callable | None = None,
     id_fn: Callable | None = None,
+    constrain_fn: Callable | None = None,
 ):
     """Stage-2 cycle training: id-paired views, odd/even swap, cross-view
-    reconstruction through the E1 local branch (e3dge_2dalignonly_runner.py:354-465)."""
+    reconstruction through the E1 local branch (e3dge_2dalignonly_runner.py:354-465).
+
+    constrain_fn(name, x) -> x optionally applies sharding constraints (e.g. ray-axis
+    'sp' sharding) to the main intermediates under a device mesh.
+    """
+    cst = constrain_fn or (lambda name, x: x)
 
     def loss_fn(trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
         variables = {"params": {**state.frozen, **trainable}, **state.extra}
@@ -209,6 +215,8 @@ def make_cycle_step(
         batch = model.apply(
             variables, k_data, bs, 1.0, True, method=E3DGE.synthetic_sample, rngs={"noise": k_noise}
         )
+        batch["images"] = cst("images", batch["images"])
+        batch["thumb_images"] = cst("thumb_images", batch["thumb_images"])
 
         ref_info = model.apply(
             variables,
@@ -230,6 +238,8 @@ def make_cycle_step(
             rngs={"noise": k_noise},
         )
         rec = que_out["res_render_out"]
+        rec["gen_imgs"] = cst("gen_imgs", rec["gen_imgs"])
+        rec["gen_thumb_imgs"] = cst("gen_thumb_imgs", rec["gen_thumb_imgs"])
 
         res = min(rec["gen_imgs"].shape[-1], 256)
         loss_2d, m2d = L.calc_2d_rec_loss(

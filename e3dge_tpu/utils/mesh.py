@@ -1,0 +1,202 @@
+"""Mesh export: frustum->cube volume alignment, isosurface extraction, OBJ I/O.
+
+Mirrors the reference mesh path (`project/utils/mesh_utils.py:17-126`,
+`volume_renderer.py:1733-1758`):
+
+  align_volume      — warp the per-ray frustum SDF samples onto a cubic grid
+                      (grid_sample with frustum adjustment, mesh_utils.py:17-44)
+  extract_mesh      — marching tetrahedra at level 0 (native C++ via ctypes; numpy
+                      fallback), rescale verts to +-0.12 scene scale, flip y/z
+                      (mesh_utils.py:48-69)
+  xyz2mesh          — Delaunay-style depth mesh from the surface xyz map
+                      (mesh_utils.py:107-126)
+  save_obj          — plain .obj writer (replaces trimesh export)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from e3dge_tpu.ops.grid_sample import grid_sample_3d
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB = None
+
+
+def _load_native():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _NATIVE_DIR / "libmarching.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.march_tetrahedra.restype = ctypes.c_int64
+    lib.march_tetrahedra.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    _LIB = lib
+    return lib
+
+
+def align_volume(sdf: jnp.ndarray, near: float = 0.88, far: float = 1.12) -> jnp.ndarray:
+    """Warp [B, H, W, S, 1] frustum SDF samples into a cubic grid of the same shape.
+
+    The renderer samples along a perspective frustum; marching cubes wants a regular
+    box. Following the reference (mesh_utils.py:17-44), build normalized cube coords,
+    shrink x/y by the perspective factor at each depth, and trilinearly resample.
+    """
+    b, h, w, s, _ = sdf.shape
+    vol = jnp.transpose(sdf[..., 0], (0, 3, 1, 2))[:, None]  # [B, 1, S(D), H, W]
+
+    zs = jnp.linspace(-1.0, 1.0, s)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    # depth of each output slice in camera units; frustum half-width grows ~ z
+    z_cam = (near + far) / 2.0 + gz * (far - near) / 2.0
+    # cube xy (scene units, +-radius) -> frustum sample uv shrinks by (z_center/z)
+    center = (near + far) / 2.0
+    adjust = z_cam / center
+    gxw = gx * adjust
+    gyw = gy * adjust
+    grid = jnp.stack([gxw, gyw, gz], axis=-1)[None]  # [1, D, H, W, 3]
+    grid = jnp.broadcast_to(grid, (b, s, h, w, 3))
+    out = grid_sample_3d(vol, grid)  # [B, 1, D, H, W]
+    return jnp.transpose(out[:, 0], (0, 2, 3, 1))[..., None] * 1.0  # [B, H, W, D, 1]
+
+
+def _march_numpy(sdf: np.ndarray, iso: float = 0.0) -> np.ndarray:
+    """Pure-numpy marching tetrahedra fallback (same decomposition as the C++)."""
+    corners = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]]
+    )
+    tets = np.array([[0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6]])
+    nx, ny, nz = sdf.shape
+    tris = []
+
+    def lerp(p0, p1, v0, v1):
+        d = v1 - v0
+        t = 0.5 if abs(d) < 1e-12 else np.clip((iso - v0) / d, 0.0, 1.0)
+        return p0 + t * (p1 - p0)
+
+    for x in range(nx - 1):
+        for y in range(ny - 1):
+            for z in range(nz - 1):
+                v = np.array([sdf[x + c[0], y + c[1], z + c[2]] for c in corners])
+                if (v >= iso).all() or (v < iso).all():
+                    continue
+                p = np.array([[x + c[0], y + c[1], z + c[2]] for c in corners], dtype=np.float64)
+                for tet in tets:
+                    inside = [i for i in tet if v[i] < iso]
+                    # match the C++ ord[] fill: outside corners land back-to-front
+                    outside = [i for i in tet if v[i] >= iso][::-1]
+                    if not inside or not outside:
+                        continue
+                    if len(inside) == 1:
+                        a = inside[0]
+                        tris.append([lerp(p[a], p[o], v[a], v[o]) for o in outside])
+                    elif len(inside) == 3:
+                        a = outside[-1]  # C++ ord[3] = first-scanned outside corner
+                        tris.append([lerp(p[a], p[i], v[a], v[i]) for i in inside])
+                    else:
+                        i0, i1 = inside
+                        o0, o1 = outside  # ord[2], ord[3]
+                        e00 = lerp(p[i0], p[o0], v[i0], v[o0])
+                        e01 = lerp(p[i0], p[o1], v[i0], v[o1])
+                        e10 = lerp(p[i1], p[o0], v[i1], v[o0])
+                        e11 = lerp(p[i1], p[o1], v[i1], v[o1])
+                        tris.append([e00, e01, e11])
+                        tris.append([e00, e11, e10])
+    if not tris:
+        return np.zeros((0, 3, 3))
+    return np.asarray(tris, dtype=np.float32)
+
+
+def march(sdf: np.ndarray, iso: float = 0.0) -> np.ndarray:
+    """Triangle soup [T, 3, 3] at the iso level; native C++ when available."""
+    sdf = np.ascontiguousarray(sdf, dtype=np.float32)
+    lib = _load_native()
+    if lib is None:
+        return _march_numpy(sdf, iso)
+    max_tris = int(sdf.size * 12)  # generous: ~12 tris/cell worst case
+    out = np.empty((max_tris, 3, 3), dtype=np.float32)
+    n = lib.march_tetrahedra(
+        sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sdf.shape[0],
+        sdf.shape[1],
+        sdf.shape[2],
+        ctypes.c_float(iso),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_tris,
+    )
+    if n < 0:
+        raise RuntimeError("marching buffer overflow")
+    return out[:n]
+
+
+def weld(tris: np.ndarray, decimals: int = 5):
+    """Triangle soup -> (verts [V,3], faces [T,3]) by welding identical vertices."""
+    flat = tris.reshape(-1, 3)
+    keys = np.round(flat, decimals)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    faces = inv.reshape(-1, 3)
+    return uniq.astype(np.float32), faces.astype(np.int32)
+
+
+def extract_mesh(sdf_vol: np.ndarray, scene_scale: float = 0.12):
+    """Grid SDF [H, W, D] -> (verts, faces) in scene coordinates.
+
+    Matches the reference rescale/flip (volume_renderer.py:1745-1753): coordinates
+    normalized to +-scene_scale, y and z flipped to fix the normal direction. The
+    input is permuted (y, x, z) -> (x, y, z) like the reference's sdf permute(1,0,2).
+    """
+    vol = np.transpose(np.asarray(sdf_vol), (1, 0, 2))
+    tris = march(vol, 0.0)
+    verts, faces = weld(tris)
+    if len(verts):
+        dims = np.array(vol.shape, dtype=np.float32)
+        verts = (verts / dims - 0.5) * (2 * scene_scale)
+        verts[:, 1] *= -1
+        verts[:, 2] *= -1
+        # flipping two axes preserves orientation; keep face winding
+    return verts, faces
+
+
+def xyz2mesh(xyz: np.ndarray):
+    """Depth mesh: triangulate the per-pixel surface xyz map on its pixel grid
+    (reference xyz2mesh, mesh_utils.py:107-126)."""
+    h, w, _ = xyz.shape
+    verts = xyz.reshape(-1, 3).astype(np.float32)
+    idx = np.arange(h * w).reshape(h, w)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    faces = np.concatenate([np.stack([a, b, c], -1), np.stack([b, d, c], -1)], 0)
+    return verts, faces.astype(np.int32)
+
+
+def save_obj(path: str | os.PathLike, verts: np.ndarray, faces: np.ndarray) -> None:
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for face in faces + 1:  # obj is 1-indexed
+            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
