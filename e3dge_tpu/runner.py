@@ -1,0 +1,238 @@
+"""Runner — train/eval orchestration (L4), the AERunner / E3DGE_Full_Runner
+equivalent (reference `project/trainers/trainer.py`, `E3DGE/e3dge_full_runner.py`).
+
+Host-side orchestration around the jitted module methods: validation with
+scores.json, novel-view video trajectories, mesh export, editing, toonify, and the
+training loop with checkpoint rotation. All device work goes through cached jitted
+closures; data-dependent host work (marching cubes, image IO, ffmpeg) stays outside.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+from e3dge_tpu.render.camera import CameraParams, camera_params_from_angles, sweep_camera_params
+from e3dge_tpu.training import losses as L
+from e3dge_tpu.training.data import EvalImageDataset
+from e3dge_tpu.utils import editing as editing_utils
+from e3dge_tpu.utils import mesh as mesh_utils
+from e3dge_tpu.utils.config import E3DGEConfig
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: E3DGEConfig,
+        variables: dict,
+        mean_latents: LatentMeans,
+        work_dir: str | Path = "runs/e3dge",
+        lpips_fn: Callable | None = None,
+        id_fn: Callable | None = None,
+    ):
+        self.cfg = cfg
+        self.model = E3DGE(cfg)
+        self.variables = variables
+        self.mean_latents = mean_latents
+        self.work_dir = Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.lpips_fn = lpips_fn
+        self.id_fn = id_fn
+        self.boundaries: dict | None = None
+        self._jit_cache: dict[str, Callable] = {}
+
+    # ------------------------------------------------------------ jit helpers
+
+    def _jitted(self, name: str, fn: Callable) -> Callable:
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def _apply(self, method, *args, **kwargs):
+        return self.model.apply(
+            self.variables, *args, method=method, rngs={"noise": jax.random.key(0)}, **kwargs
+        )
+
+    # -------------------------------------------------------------- inference
+
+    def image2image(self, images: np.ndarray) -> dict[str, Any]:
+        """Invert + reconstruct (full E1 path when enabled)."""
+        fn = self._jitted(
+            "image2image",
+            lambda v, x, ml: self.model.apply(
+                v,
+                x,
+                ml,
+                method=E3DGE.image2image if self.cfg.renderer.enable_local_model else E3DGE.image2image_global,
+                rngs={"noise": jax.random.key(0)},
+            ),
+        )
+        return fn(self.variables, jnp.asarray(images), self.mean_latents)
+
+    def encode_ref(self, images: np.ndarray) -> dict[str, Any]:
+        fn = self._jitted(
+            "encode_ref",
+            lambda v, x, ml: self.model.apply(
+                v, x, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(0)}
+            ),
+        )
+        return fn(self.variables, jnp.asarray(images), self.mean_latents)
+
+    def render_view(self, ref_info: dict, camera: CameraParams) -> dict[str, Any]:
+        fn = self._jitted(
+            "render_view",
+            lambda v, r, c: self.model.apply(
+                v, r, c, method=E3DGE.que_render_given_ref, rngs={"noise": jax.random.key(0)}
+            ),
+        )
+        return fn(self.variables, ref_info, camera)
+
+    def render_video(self, images: np.ndarray, n_views: int = 8, azim_range: float = 0.3):
+        """Novel-view trajectory for each input (reference render_video,
+        trainer.py:1843-2012): azimuth sweep at the estimated elevation."""
+        ref_info = self.encode_ref(images)
+        frames = []
+        b = images.shape[0]
+        for azim in np.linspace(-azim_range, azim_range, n_views):
+            cam = camera_params_from_angles(
+                jnp.full((b,), float(azim)),
+                ref_info["cam_settings"].viewpoint[:, 1],
+                self.cfg.renderer.out_im_res,
+                self.cfg.camera.fov_ang,
+                self.cfg.camera.dist_radius,
+            )
+            out = self.render_view(ref_info, cam)
+            frames.append(np.asarray(out["res_render_out"]["gen_imgs"]))
+        return np.stack(frames, axis=1)  # [B, V, 3, H, W]
+
+    # ---------------------------------------------------------------- editing
+
+    def load_boundaries(self, boundary_dir: str | Path):
+        self.boundaries = editing_utils.load_boundaries(boundary_dir)
+
+    def edit_and_render(self, images: np.ndarray, scales: Sequence[float] | Mapping[str, float]):
+        """Semantic editing (reference editing_inference path,
+        e3dge_full_runner.py:121-142): edit codes, re-render, ADA-align the original
+        residual against the *edited* thumb, fuse, decode."""
+        assert self.boundaries is not None, "call load_boundaries first"
+        ref_info = self.encode_ref(images)
+        edited = editing_utils.edit_code(ref_info["pred_latents"], self.boundaries, scales)
+        ref_info = dict(ref_info)
+        ref_info["pred_latents"] = edited
+        # re-render the edited global pass so depths/residual context match the edit
+        fn = self._jitted(
+            "latent2image_ro",
+            lambda v, lat, cam: self.model.apply(
+                v, lat, cam, None, True, method=E3DGE.latent2image, rngs={"noise": jax.random.key(0)}
+            ),
+        )
+        edit_render = fn(self.variables, edited, ref_info["cam_settings"])
+        ref_info["global_render_out"] = edit_render
+        out = self.render_view(ref_info, ref_info["cam_settings"])
+        return out
+
+    def toonify(self, toon_generator_params: dict):
+        """Swap in domain-transferred generator weights (demo_toonify path)."""
+        params = editing_utils.toonify_params(self.variables["params"], toon_generator_params)
+        self.variables = {**self.variables, "params": params}
+        self._jit_cache.clear()
+
+    # ------------------------------------------------------------------- mesh
+
+    def latent2surface(self, pred_latents, camera: CameraParams | None = None):
+        """SDF frustum -> cubic grid -> marching tetrahedra -> (verts, faces)
+        (reference latent2surface, trainer.py:1374-1480)."""
+        b = pred_latents[0].shape[0]
+        if camera is None:
+            camera = camera_params_from_angles(
+                jnp.zeros((b,)), jnp.zeros((b,)), self.cfg.renderer.out_im_res,
+                self.cfg.camera.fov_ang, self.cfg.camera.dist_radius,
+            )
+        fn = self._jitted(
+            "sdf_grid",
+            lambda v, cam, w: self.model.apply(v, cam, w, method=lambda m, c, s: m.generator.render_sdf_grid(c, s)),
+        )
+        sdf = fn(self.variables, camera, pred_latents[0])  # [B, H, W, S, 1]
+        aligned = mesh_utils.align_volume(sdf)
+        meshes = []
+        for i in range(b):
+            verts, faces = mesh_utils.extract_mesh(np.asarray(aligned[i, ..., 0]))
+            meshes.append((verts, faces))
+        return meshes
+
+    # ------------------------------------------------------------- validation
+
+    def validation(self, data_root: str | Path, batch_size: int = 4, max_images: int | None = None):
+        """eval_2dmetrics path: invert every test image, compute L2/MAE/PSNR/SSIM
+        (+LPIPS/ID when nets provided), append scores.json (trainer.py:290-585)."""
+        ds = EvalImageDataset(data_root, size=self.cfg.pifu.load_size)
+        agg: dict[str, list] = {}
+        seen = 0
+        t0 = time.perf_counter()
+        for batch in ds.iter_batches(batch_size):
+            if max_images and seen >= max_images:
+                break
+            imgs = jnp.asarray(batch["image"])
+            out = self.image2image(imgs)
+            rec = out["res_render_out"] if "res_render_out" in out else out
+            pred = rec["gen_imgs"]
+            res = min(pred.shape[-1], imgs.shape[-1])
+            from e3dge_tpu.models.e3dge import adaptive_avg_pool
+
+            _, metrics = L.calc_2d_rec_loss(
+                adaptive_avg_pool(pred, res),
+                adaptive_avg_pool(imgs, res),
+                {"l2_lambda": 1.0},
+                lpips_fn=self.lpips_fn,
+                id_fn=self.id_fn,
+            )
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+            seen += imgs.shape[0]
+        scores = {k: float(np.mean(v)) for k, v in agg.items()}
+        scores["num_images"] = seen
+        scores["sec_per_image"] = (time.perf_counter() - t0) / max(seen, 1)
+        path = self.work_dir / "scores.json"
+        existing = json.loads(path.read_text()) if path.exists() else []
+        existing.append(scores)
+        path.write_text(json.dumps(existing, indent=2))
+        return scores
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_checkpoint(self, state=None, name: str = "latest"):
+        """Orbax save with the reference's `_old` rotation (base_runner.py:277-284)."""
+        import orbax.checkpoint as ocp
+
+        path = (self.work_dir / f"models_{name}").resolve()
+        old = (self.work_dir / f"models_{name}_old").resolve()
+        if path.exists():
+            if old.exists():
+                import shutil
+
+                shutil.rmtree(old)
+            path.rename(old)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"variables": self.variables}
+        if state is not None:
+            payload["state"] = state
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, name: str = "latest"):
+        import orbax.checkpoint as ocp
+
+        path = (self.work_dir / f"models_{name}").resolve()
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path)
+        self.variables = restored["variables"]
+        self._jit_cache.clear()
+        return restored.get("state")

@@ -1,0 +1,99 @@
+"""Datasets (L6): real-image folders for training/eval.
+
+Mirrors the reference `project/data/dataset.py`:
+  ImageFolderDataset    — MultiResolutionDatasetLMS (:92): folder glob, random
+                          horizontal flip, (size, 64) resized pair
+  EvalImageDataset      — ImagesDatasetEval (:231): numeric-name-sorted test images
+
+Host-side numpy/PIL pipeline — the TPU path receives ready [-1, 1] NCHW batches.
+(The heavy "dataset" in E3DGE training is the frozen GAN sampled on-device —
+e3dge_tpu/models/e3dge.py synthetic_sample — so there is no input bottleneck.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+IMG_EXTS = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+
+
+def _list_images(root: str | Path) -> list[Path]:
+    files = [p for p in sorted(Path(root).rglob("*")) if p.suffix.lower() in IMG_EXTS]
+    if not files:
+        raise FileNotFoundError(f"no images under {root}")
+    return files
+
+
+def _numeric_sort(paths: Sequence[Path]) -> list[Path]:
+    def key(p: Path):
+        m = re.findall(r"\d+", p.stem)
+        return (int(m[0]) if m else 0, p.stem)
+
+    return sorted(paths, key=key)
+
+
+def load_image(path: str | Path, size: int) -> np.ndarray:
+    """[-1, 1] float32 CHW."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != (size, size):
+        img = img.resize((size, size), Image.HAMMING)
+    arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+    return arr.transpose(2, 0, 1)
+
+
+class ImageFolderDataset:
+    """Training dataset: returns (full-res, 64-thumb) pairs with random hflip."""
+
+    def __init__(self, root: str | Path, size: int = 256, thumb_size: int = 64, hflip: bool = True):
+        self.paths = _list_images(root)
+        self.size = size
+        self.thumb_size = thumb_size
+        self.hflip = hflip
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        img = load_image(self.paths[i], self.size)
+        if self.hflip and np.random.rand() < 0.5:
+            img = img[:, :, ::-1].copy()
+        f = self.size // self.thumb_size
+        thumb = img.reshape(3, self.thumb_size, f, self.thumb_size, f).mean((2, 4))
+        return {"image": img, "thumb": thumb}
+
+    def iter_batches(self, batch_size: int, shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+        rng = np.random.RandomState(seed)
+        while True:
+            order = rng.permutation(len(self)) if shuffle else np.arange(len(self))
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                items = [self[int(j)] for j in order[s : s + batch_size]]
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class EvalImageDataset:
+    """CelebA-HQ-style test split: numeric-sorted, returns image + path."""
+
+    def __init__(self, root: str | Path, size: int = 256):
+        self.paths = _numeric_sort(_list_images(root))
+        self.size = size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> dict:
+        return {"image": load_image(self.paths[i], self.size), "img_path": str(self.paths[i])}
+
+    def iter_batches(self, batch_size: int) -> Iterator[dict]:
+        for s in range(0, len(self), batch_size):
+            items = [self[j] for j in range(s, min(s + batch_size, len(self)))]
+            yield {
+                "image": np.stack([it["image"] for it in items]),
+                "img_path": [it["img_path"] for it in items],
+            }

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Evaluation / demo entry point (reference `test_ae.py` + `scripts/test/*.sh`).
+
+Examples:
+  python scripts/eval.py --data /path/to/celebahq_test --ckpt runs/train/models_final
+  python scripts/eval.py --data imgs/ --mode video --views 16
+  python scripts/eval.py --data imgs/ --mode edit --smile 1.0
+  python scripts/eval.py --data imgs/ --mode mesh --out meshes/
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh"], default="metrics")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--torch-ckpt", default=None, help="reference .pt to ingest")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--smile", type=float, default=1.0)
+    ap.add_argument("--boundaries", default=None)
+    ap.add_argument("--out", default="runs/eval")
+    ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+    from e3dge_tpu.runner import Runner
+    from e3dge_tpu.training.data import EvalImageDataset
+    from e3dge_tpu.utils import config as C
+    from e3dge_tpu.utils.mesh import save_obj
+
+    cfg = C.tiny_full_config() if args.tiny else C.demo_view_synthesis_config()
+    model = E3DGE(cfg)
+    imgs0 = jnp.zeros((1, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    variables = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs0, ml)
+
+    runner = Runner(cfg, variables, ml, work_dir=args.out)
+    if args.ckpt:
+        runner.load_checkpoint(Path(args.ckpt).name.removeprefix("models_"))
+    if args.torch_ckpt:
+        from e3dge_tpu.utils.torch_ckpt import (
+            ingest_variables,
+            load_torch_file,
+            normalize_g_ema_keys,
+            split_generator_sd,
+        )
+
+        sd = normalize_g_ema_keys(load_torch_file(args.torch_ckpt))
+        gen_sd, local_sd = split_generator_sd(sd)
+        runner.variables, missing = ingest_variables(
+            runner.variables, {"generator": gen_sd, "local": local_sd}, strict=False
+        )
+        print(f"ingested torch ckpt ({len(missing)} unmatched leaves)")
+        ml = runner.model.apply(runner.variables, jax.random.key(2), 10000, method=E3DGE.mean_latent)
+        runner.mean_latents = ml
+
+    if args.mode == "metrics":
+        scores = runner.validation(args.data, batch_size=args.batch, max_images=args.max_images)
+        print(scores)
+    elif args.mode == "video":
+        ds = EvalImageDataset(args.data, size=cfg.pifu.load_size)
+        batch = next(ds.iter_batches(args.batch))
+        frames = runner.render_video(batch["image"], n_views=args.views)
+        np.save(Path(args.out) / "video_frames.npy", frames)
+        print("wrote", Path(args.out) / "video_frames.npy", frames.shape)
+    elif args.mode == "edit":
+        assert args.boundaries, "--boundaries required for editing"
+        runner.load_boundaries(args.boundaries)
+        ds = EvalImageDataset(args.data, size=cfg.pifu.load_size)
+        batch = next(ds.iter_batches(args.batch))
+        out = runner.edit_and_render(batch["image"], [0, args.smile, 0, 0, 0])
+        np.save(Path(args.out) / "edited.npy", np.asarray(out["res_render_out"]["gen_imgs"]))
+        print("wrote edited renders")
+    elif args.mode == "mesh":
+        ds = EvalImageDataset(args.data, size=cfg.pifu.load_size)
+        batch = next(ds.iter_batches(args.batch))
+        ref = runner.encode_ref(jnp.asarray(batch["image"]))
+        meshes = runner.latent2surface(ref["pred_latents"])
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for i, (verts, faces) in enumerate(meshes):
+            save_obj(outdir / f"mesh_{i}.obj", verts, faces)
+        print(f"wrote {len(meshes)} meshes to {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Smoke tests for the Runner orchestration (tiny config): validation loop +
+scores.json, novel-view trajectory, mesh export, editing, checkpoint rotation."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+from e3dge_tpu.runner import Runner
+from e3dge_tpu.utils.config import tiny_full_config
+
+
+@pytest.fixture(scope="module")
+def runner(tmp_path_factory):
+    cfg = tiny_full_config()
+    model = E3DGE(cfg)
+    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    return Runner(cfg, v, ml, work_dir=tmp_path_factory.mktemp("run"))
+
+
+def _image_dir(tmp_path, n=3, size=32):
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        arr = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+    return d
+
+
+def test_validation_scores(runner, tmp_path):
+    d = _image_dir(tmp_path, n=4, size=runner.cfg.pifu.load_size)
+    scores = runner.validation(d, batch_size=2)
+    assert scores["num_images"] == 4
+    assert np.isfinite(scores["psnr"])
+    saved = json.loads((runner.work_dir / "scores.json").read_text())
+    assert len(saved) == 1 and saved[0]["num_images"] == 4
+
+
+def test_render_video(runner):
+    imgs = np.random.randn(2, 3, runner.cfg.pifu.load_size, runner.cfg.pifu.load_size).astype(np.float32)
+    frames = runner.render_video(imgs, n_views=3)
+    assert frames.shape[:2] == (2, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_latent2surface(runner):
+    imgs = np.random.randn(1, 3, runner.cfg.pifu.load_size, runner.cfg.pifu.load_size).astype(np.float32)
+    ref = runner.encode_ref(imgs)
+    meshes = runner.latent2surface(ref["pred_latents"])
+    assert len(meshes) == 1
+    verts, faces = meshes[0]
+    # random init may or may not cross zero; shapes must be consistent either way
+    assert verts.ndim == 2 and verts.shape[1] == 3
+    assert faces.ndim == 2 and faces.shape[1] == 3
+
+
+def test_editing(runner, tmp_path):
+    # synthetic boundaries on disk
+    cfg = runner.cfg
+    bdir = tmp_path / "boundaries"
+    for attr in ["Bangs", "Smiling", "No_Beard", "Young"]:
+        for space, dim in [("renderer", cfg.renderer.style_dim), ("decoder", cfg.decoder.style_dim)]:
+            p = bdir / f"{space}_{attr}"
+            p.mkdir(parents=True)
+            np.save(p / "boundary.npy", np.random.randn(1, dim).astype(np.float32) * 0.1)
+    runner.load_boundaries(bdir)
+    imgs = np.random.randn(1, 3, cfg.pifu.load_size, cfg.pifu.load_size).astype(np.float32)
+    out = runner.edit_and_render(imgs, [0.0, 1.0, 0.0, 0.0, 0.0])
+    assert np.isfinite(np.asarray(out["res_render_out"]["gen_imgs"])).all()
+    # non-zero smile scale must change the output vs zero scales
+    out0 = runner.edit_and_render(imgs, [0.0, 0.0, 0.0, 0.0, 0.0])
+    assert not np.allclose(
+        np.asarray(out["res_render_out"]["gen_imgs"]), np.asarray(out0["res_render_out"]["gen_imgs"])
+    )
+
+
+def test_checkpoint_rotation(runner):
+    runner.save_checkpoint(name="latest")
+    runner.save_checkpoint(name="latest")  # second save rotates to _old
+    assert (runner.work_dir / "models_latest").exists()
+    assert (runner.work_dir / "models_latest_old").exists()
+    v_before = jax.tree.leaves(runner.variables)[0]
+    runner.load_checkpoint("latest")
+    v_after = jax.tree.leaves(runner.variables)[0]
+    np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after))
