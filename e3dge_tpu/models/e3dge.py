@@ -181,10 +181,16 @@ class E3DGE(nn.Module):
         key: jax.Array | None = None,
         train: bool = False,
         fusion_weight: float = 1.0,
+        use_ref_view_weight: bool = False,
     ) -> dict[str, Any]:
         """Render a query view conditioned on the reference-view residual features:
         3D-project ref feats + 2D-align query feats + visibility mask + SFT fusion +
-        PE -> SIREN tex modulations -> full-pipeline render."""
+        PE -> SIREN tex modulations -> full-pipeline render.
+
+        use_ref_view_weight re-integrates occlusion from the ref view and weights the
+        3D-projected features by the hit probability with force-background correction
+        (reference cycle_runner.py:133-161; released inference disables it via
+        --disable_ref_view_weight)."""
         c = self.cfg
         pred_latents = ref_info["pred_latents"]
         ref_calibs = ref_info["cam_settings"].calibs
@@ -199,6 +205,25 @@ class E3DGE(nn.Module):
         # 2. 3D-projected reference features (queried at REF calibs)
         proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
         feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+
+        ref_hit_prob = None
+        if use_ref_view_weight:
+            renderer = self.generator.renderer
+            if c.renderer.force_background:
+                # re-integrate occlusion for all but the forced-background sample,
+                # then put the leftover mass on the last one (cycle_runner.py:139-155)
+                hp = renderer.query_hit_prob(
+                    que_pts[..., :-1, :], ref_info["cam_settings"], ref_info["pred_latents"][0]
+                )
+                last = 1.0 - jnp.sum(hp, axis=-2, keepdims=True)
+                ref_hit_prob = jnp.concatenate([hp, last], axis=-2)
+            else:
+                ref_hit_prob = renderer.query_hit_prob(
+                    que_pts, ref_info["cam_settings"], ref_info["pred_latents"][0]
+                )
+            in_img_3d = proj["in_img"].reshape(B, H, W, S, 1).astype(feature_3d.dtype)
+            ref_hit_prob = ref_hit_prob * in_img_3d
+            feature_3d = feature_3d * ref_hit_prob
 
         # 3. visibility: project query surface xyz into the ref view
         xyz_B3N = jnp.transpose(que_info["xyz"].reshape(B, -1, 3), (0, 2, 1))
@@ -238,6 +263,7 @@ class E3DGE(nn.Module):
             "aligned_res": aligned_res,
             "in_img_mask": proj["in_img"].reshape(B, H, W, S, 1),
             "que_info": que_info,
+            "ref_hit_prob": ref_hit_prob,
         }
 
     # --------------------------------------------------------------- user APIs

@@ -23,6 +23,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from e3dge_tpu.models.siren import SirenGenerator
@@ -71,6 +72,49 @@ class VolumeFeatureRenderer(nn.Module):
         h = self.network.backbone(self._warp(pts), styles)
         return self.network.geo_head(h)
 
+    def _query_fused(self, pts, dirs, styles, conditions):
+        """Fused Pallas field query (ops/pallas/siren_kernel.py): all layer weights
+        stay VMEM-resident and the whole backbone+heads runs per ray-sample tile —
+        one HBM read of inputs, one write of outputs. Inference-only path (the XLA
+        formulation serves autodiff)."""
+        from e3dge_tpu.ops.pallas.siren_kernel import (
+            film_vectors,
+            pack_siren_params,
+            siren_query_fused,
+        )
+
+        c = self.cfg
+        params = self.network.variables["params"]
+        pack = pack_siren_params(params, depth=c.depth, width=c.width)
+        shape = pts.shape  # [B, H, W, S, 3]
+        b = shape[0]
+        n = int(np.prod(shape[1:-1]))
+        pts_flat = self._warp(pts).reshape(b, n, 3)
+        dirs_flat = dirs.reshape(b, n, 3)
+        if conditions is not None:
+            alpha = conditions[0].reshape(b, n, c.width)
+            lbeta = conditions[1].reshape(b, n, c.width)
+        feats, rgb_sdfs = [], []
+        for i in range(b):  # per-item: FiLM vectors are per-style
+            s = styles[i] if styles.ndim == 3 else styles[i] if styles.ndim == 2 else styles
+            gamma, beta = film_vectors(params, s, depth=c.depth)
+            f, rs = siren_query_fused(
+                pts_flat[i],
+                dirs_flat[i],
+                pack,
+                gamma,
+                beta,
+                alpha[i] if conditions is not None else None,
+                lbeta[i] if conditions is not None else None,
+                depth=c.depth,
+                width=c.width,
+            )
+            feats.append(f)
+            rgb_sdfs.append(rs)
+        feat = jnp.stack(feats).reshape(*shape[:-1], c.width)
+        rgb_sdf = jnp.stack(rgb_sdfs).reshape(*shape[:-1], 8)
+        return rgb_sdf[..., :3], rgb_sdf[..., 3:4], feat if c.output_features else None
+
     # -- rendering -----------------------------------------------------------
 
     def __call__(
@@ -117,10 +161,13 @@ class VolumeFeatureRenderer(nn.Module):
         pts = rays_to_points(rays_o, rays_d, z_vals)  # [B, H, W, S, 3]
 
         dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-        raw = self.query_raw(pts, dirs, styles, conditions)
-        rgb_raw = raw[..., :3]
-        sdf = raw[..., 3:4]
-        features = raw[..., 4:] if c.output_features else None
+        if c.fused_inference and not train:
+            rgb_raw, sdf, features = self._query_fused(pts, dirs, styles, conditions)
+        else:
+            raw = self.query_raw(pts, dirs, styles, conditions)
+            rgb_raw = raw[..., :3]
+            sdf = raw[..., 3:4]
+            features = raw[..., 4:] if c.output_features else None
 
         out = volume_integrate(
             rgb_raw,
@@ -153,6 +200,104 @@ class VolumeFeatureRenderer(nn.Module):
             "near": camera.near,
             "far": camera.far,
         }
+
+    # -- occlusion / visibility ------------------------------------------------
+
+    def query_hit_prob(
+        self,
+        wd_pts: jnp.ndarray,       # [B, H, W, S, 3] query points (world space)
+        ref_camera: CameraParams,
+        ref_styles: jnp.ndarray,
+        return_type: str = "weights",
+        n_chunks: int = 16,
+    ) -> jnp.ndarray:
+        """Occlusion query: re-integrate rays from the REFERENCE camera through every
+        query point and lerp the hit-probability (or transmittance) at the point's
+        fractional depth-interval index (reference
+        `query_hitting_probability_fixed_interval`, volume_renderer.py:1326-1495).
+
+        The reference chunks serially in 64^2-ray batches; here the per-point rays are
+        one array axis scanned in `n_chunks` tiles (lax.map) purely to bound HBM — the
+        field query inside each tile is a single fused batched program.
+
+        Returns [B, H, W, S, 1] occlusion weights in the query layout.
+        """
+        assert return_type in ("weights", "visibility")
+        c = self.cfg
+        B, H, W, S, _ = wd_pts.shape
+        N = H * W * S
+        S_ray = c.n_samples
+
+        rays_o = ref_camera.poses[:, :, 3]  # [B, 3]
+        w2c_R = ref_camera.extrinsics[:, :, :3]
+        w2c_t = ref_camera.extrinsics[:, :, 3]
+        c2w_R = ref_camera.poses[:, :, :3]
+
+        pts = wd_pts.reshape(B, N, 3)
+        # ray dir through each point, normalized to z = -1 in camera space
+        p_cam = jnp.einsum("bij,bnj->bni", w2c_R, pts) + w2c_t[:, None]
+        rays_d_ref = p_cam / (-p_cam[..., 2:3])
+        rays_d_wd = jnp.einsum("bij,bnj->bni", c2w_R, rays_d_ref)  # [B, N, 3]
+        d_norm = jnp.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
+        viewdirs = rays_d_wd / d_norm
+
+        near = ref_camera.near.reshape(B, 1, 1)
+        far = ref_camera.far.reshape(B, 1, 1)
+        if c.offset_sampling:
+            t_vals = jnp.linspace(0.0, 1.0 - 1.0 / S_ray, S_ray)
+        else:
+            t_vals = jnp.linspace(0.0, 1.0, S_ray)
+        z_vals = near * (1.0 - t_vals)[None, None] + far * t_vals[None, None]  # [B, 1, S_ray]
+        z_vals = jnp.broadcast_to(z_vals, (B, N, S_ray))
+        interval = (z_vals[..., 1:2] - z_vals[..., 0:1]) * d_norm  # [B, N, 1]
+
+        # fractional interval index of the query point along its own ray
+        q0 = rays_o[:, None] + rays_d_wd * z_vals[..., 0:1]
+        idx = jnp.linalg.norm(pts - q0, axis=-1, keepdims=True) / interval + 1e-5  # [B, N, 1]
+        idx_floor = jnp.clip(jnp.floor(idx), 0, S_ray - 1).astype(jnp.int32)
+        idx_ceil = jnp.clip(jnp.ceil(idx), 0, S_ray - 1).astype(jnp.int32)
+
+        chunk = -(-N // n_chunks)
+        pad = chunk * n_chunks - N
+
+        def pad_n(x):
+            return jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+
+        rays_d_c = pad_n(rays_d_wd).reshape(B, n_chunks, chunk, 3)
+        viewdirs_c = pad_n(viewdirs).reshape(B, n_chunks, chunk, 3)
+        z_vals_c = pad_n(z_vals).reshape(B, n_chunks, chunk, S_ray)
+
+        def one_chunk(args):
+            rd, vd, zv = args  # [B, chunk, 3], [B, chunk, 3], [B, chunk, S_ray]
+            q = rays_o[:, None, None] + rd[:, :, None] * zv[..., None]  # [B, chunk, S_ray, 3]
+            dirs = jnp.broadcast_to(vd[:, :, None], q.shape)
+            raw = self.query_raw(q, dirs, ref_styles)
+            out = volume_integrate(
+                raw[..., :3],
+                raw[..., 3:4],
+                None,
+                zv,
+                vd,  # normalized viewdirs: dists already scaled by d_norm via interval
+                q,
+                self.sigmoid_beta,
+                force_background=False,
+                no_force_stop=True,
+                fg_mask_threshold=c.fg_mask_threshold,
+            )
+            return out.weights if return_type == "weights" else out.visibility  # [B, chunk, S_ray, 1]
+
+        occ = jax.lax.map(one_chunk, (
+            jnp.moveaxis(rays_d_c, 1, 0),
+            jnp.moveaxis(viewdirs_c, 1, 0),
+            jnp.moveaxis(z_vals_c, 1, 0),
+        ))  # [n_chunks, B, chunk, S_ray, 1]
+        occ = jnp.moveaxis(occ, 0, 1).reshape(B, n_chunks * chunk, S_ray)[:, :N]
+
+        floor_v = jnp.take_along_axis(occ, idx_floor, axis=-1)
+        ceil_v = jnp.take_along_axis(occ, idx_ceil, axis=-1)
+        w = idx - idx_floor
+        out = floor_v + w * (ceil_v - floor_v)
+        return out.reshape(B, H, W, S, 1)
 
     # -- 3D-supervision sampling (DATASETGAN_3D support) -----------------------
 

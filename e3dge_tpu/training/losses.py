@@ -111,6 +111,32 @@ def eikonal_loss(eikonal_term, sdf=None, beta: float = 100.0):
     return eik, minimal_surface
 
 
+def hit_prob_consistency_loss(hit_prob_pred, hit_prob_gt):
+    """BCE between predicted and (detached) reference hit probabilities
+    (reference ConsistencyLoss, losses/geometry_loss.py:21-53, neuRay-style)."""
+    p0 = jax.lax.stop_gradient(hit_prob_gt)
+    p1 = hit_prob_pred
+    bce = -p0 * jnp.log(p1 + 1e-5) - (1.0 - p0) * jnp.log(1.0 - p1 + 1e-5)
+    return jnp.mean(jnp.mean(bce, axis=-2))
+
+
+def depth_consistency_loss(depth_pred, depth_gt, beta: float = 0.05):
+    """Smooth-L1 depth consistency (reference DepthLoss, geometry_loss.py:57-80)."""
+    return smooth_l1(depth_pred, jax.lax.stop_gradient(depth_gt), beta=beta)
+
+
+def path_lengths_from_grads(latent_grads, mean_path_length, decay: float = 0.01):
+    """StyleGAN2 path-length regularization (reference gan_loss.py path_regularize).
+
+    The train step computes `latent_grads = d(sum(img * noise/sqrt(HW)))/d(latent)`
+    with jax.grad (replacing torch autograd.grad) and passes them here; returns
+    (penalty, updated mean path length)."""
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(latent_grads**2, axis=-1), axis=-1) + 1e-12)
+    mean_new = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
+    penalty = jnp.mean((path_lengths - jax.lax.stop_gradient(mean_new)) ** 2)
+    return penalty, jax.lax.stop_gradient(mean_new)
+
+
 # ------------------------------------------------------- composite criteria
 
 

@@ -55,6 +55,8 @@ class RendererConfig:
     sample_uniform_grid: bool = False
     uniform_grid_sampling_num: int = 2048
     surface_sampling_stdv: float = 0.03
+    # Pallas fused field query on the inference path (ops/pallas/siren_kernel.py)
+    fused_inference: bool = False
 
 
 @dataclass(frozen=True)
