@@ -84,37 +84,40 @@ def _siren_kernel(
 
 
 def pack_siren_params(params: dict, depth: int = 8, width: int = 256):
-    """SirenGenerator flax params -> dense kernel operand pack (host-side, cheap)."""
+    """SirenGenerator flax params -> dense kernel operand pack (traceable: params may
+    be jit tracers)."""
     p = params
-    w_first = np.zeros((8, width), np.float32)
-    w_first[:3] = np.asarray(p["pts_linears_0"]["weight"]).T  # [3, W]
-    w_stack = np.stack(
-        [np.asarray(p[f"pts_linears_{i}"]["weight"]).T for i in range(1, depth)]
+    w_first = jnp.zeros((8, width), jnp.float32).at[:3].set(jnp.transpose(p["pts_linears_0"]["weight"]))
+    w_stack = jnp.stack(
+        [jnp.transpose(p[f"pts_linears_{i}"]["weight"]) for i in range(1, depth)]
     )  # [D-1, W, W]
-    b_stack = np.stack([np.asarray(p[f"pts_linears_{i}"]["bias"]) for i in range(depth)])
+    b_stack = jnp.stack([p[f"pts_linears_{i}"]["bias"] for i in range(depth)])
 
-    wv = np.asarray(p["views_linears"]["weight"]).T  # [W+3, W]
+    wv = jnp.transpose(p["views_linears"]["weight"])  # [W+3, W]
     w_vh = wv[:width]
-    w_vd = np.zeros((8, width), np.float32)
-    w_vd[:3] = wv[width:]
-    b_v = np.asarray(p["views_linears"]["bias"])[None]
+    w_vd = jnp.zeros((8, width), jnp.float32).at[:3].set(wv[width:])
+    b_v = p["views_linears"]["bias"][None]
 
     # heads: rgb [W,3] in cols 0..2; sigma [W,1] in col 3 (std_init=1, bias_init=0)
-    w_heads = np.zeros((width, 8), np.float32)
-    w_heads[:, :3] = np.asarray(p["rgb_linear"]["weight"]).T
-    w_heads[:, 3:4] = np.asarray(p["sigma_linear"]["weight"]).T
-    b_heads = np.zeros((1, 8), np.float32)
-    b_heads[0, :3] = np.asarray(p["rgb_linear"]["bias"])
-    b_heads[0, 3] = np.asarray(p["sigma_linear"]["bias"])
+    w_heads = (
+        jnp.zeros((width, 8), jnp.float32)
+        .at[:, :3].set(jnp.transpose(p["rgb_linear"]["weight"]))
+        .at[:, 3:4].set(jnp.transpose(p["sigma_linear"]["weight"]))
+    )
+    b_heads = (
+        jnp.zeros((1, 8), jnp.float32)
+        .at[0, :3].set(p["rgb_linear"]["bias"])
+        .at[0, 3].set(p["sigma_linear"]["bias"][0])
+    )
     return dict(
-        w_first=jnp.asarray(w_first),
-        w_stack=jnp.asarray(w_stack),
-        b_stack=jnp.asarray(b_stack),
-        w_vh=jnp.asarray(w_vh),
-        w_vd=jnp.asarray(w_vd),
-        b_v=jnp.asarray(b_v),
-        w_heads=jnp.asarray(w_heads),
-        b_heads=jnp.asarray(b_heads),
+        w_first=w_first,
+        w_stack=w_stack,
+        b_stack=b_stack,
+        w_vh=w_vh,
+        w_vd=w_vd,
+        b_v=b_v,
+        w_heads=w_heads,
+        b_heads=b_heads,
     )
 
 

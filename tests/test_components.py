@@ -1,0 +1,87 @@
+"""Tests for auxiliary components: encoder factory, train utils, logger, consistency
+losses, projector."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e3dge_tpu.models.encoders.factory import set_encoder
+from e3dge_tpu.training import losses as L
+from e3dge_tpu.training.train_utils import ema_update, make_noise, make_pair_same_noise
+from e3dge_tpu.utils.config import tiny_test_config
+from e3dge_tpu.utils.logger import MetricLogger
+
+
+def test_encoder_factory_variants():
+    cfg = tiny_test_config()
+    enc = set_encoder("HybridGradualStyleEncoder_V2", cfg.encoder)
+    x = jax.random.normal(jax.random.key(0), (1, 3, cfg.encoder.input_res, cfg.encoder.input_res))
+    v = enc.init(jax.random.key(1), x)
+    thumb, dec = enc.apply(v, x)
+    assert thumb.shape == (1, cfg.encoder.n_styles_pigan, cfg.encoder.style_dim)
+
+    enc2 = set_encoder("VolumeRenderDiscriminatorEncoder", cfg.encoder, init_size=8)
+    x2 = jax.random.normal(jax.random.key(0), (1, 3, 8, 8))
+    v2 = enc2.init(jax.random.key(1), x2)
+    thumb2, dec2 = enc2.apply(v2, x2)
+    assert thumb2.shape == (1, cfg.encoder.n_styles_pigan, cfg.encoder.style_dim)
+    assert dec2 is None
+
+
+def test_pair_same_noise_and_ema():
+    z = make_pair_same_noise(jax.random.key(0), 4, 8)
+    np.testing.assert_allclose(np.asarray(z[0]), np.asarray(z[1]))
+    assert not np.allclose(np.asarray(z[0]), np.asarray(z[2]))
+
+    ema = {"w": jnp.zeros(3)}
+    cur = {"w": jnp.ones(3)}
+    out = ema_update(ema, cur, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+def test_make_noise_shapes():
+    noises = make_noise(jax.random.key(0), size=32, in_res=8, batch=2)
+    assert len(noises) == (5 - 3) * 2 + 1  # num_layers
+    assert noises[0].shape == (2, 1, 8, 8)
+    assert noises[-1].shape == (2, 1, 32, 32)
+
+
+def test_consistency_losses():
+    p = jnp.full((1, 2, 2, 4, 1), 0.5)
+    assert float(L.hit_prob_consistency_loss(p, p)) > 0  # BCE of 0.5 vs 0.5 = ln2-ish
+    d = jnp.ones((1, 2, 2, 1))
+    assert float(L.depth_consistency_loss(d, d)) == 0.0
+    pen, mean = L.path_lengths_from_grads(jnp.ones((2, 5, 8)), jnp.asarray(0.0))
+    assert np.isfinite(float(pen)) and float(mean) > 0
+
+
+def test_metric_logger(tmp_path):
+    logger = MetricLogger(tmp_path)
+    logger.log(1, {"loss": jnp.asarray(0.5)})
+    logger.log(2, {"loss": 0.25}, prefix="val/")
+    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["val/loss"] == 0.25
+
+
+def test_projector_tiny():
+    from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+    from e3dge_tpu.render.camera import camera_params_from_angles
+    from e3dge_tpu.training.projector import project
+
+    cfg = tiny_test_config()
+    model = E3DGE(cfg)
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    imgs = jnp.zeros((1, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    cam = camera_params_from_angles(jnp.asarray([0.0]), jnp.asarray([0.0]), cfg.renderer.out_im_res)
+    target = jax.random.uniform(jax.random.key(5), (1, 3, cfg.decoder.size, cfg.decoder.size)) * 2 - 1
+    latents, losses = project(model, v, ml, target, cam, jax.random.key(6), steps=8, lr=1e-2)
+    assert latents[0].shape == (1, cfg.renderer.depth + 1, cfg.renderer.style_dim)
+    # optimization reduces the objective
+    assert float(losses[-1]) < float(losses[0])
