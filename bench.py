@@ -26,15 +26,17 @@ def main():
     fn, args = entry()
     jfn = jax.jit(fn, donate_argnums=())
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon relay, block_until_ready does NOT
+    # synchronize with device execution — a value pull (float()) is the only honest
+    # sync, so we time N dispatches amortized against one final scalar round-trip.
     out = jfn(*args)
-    jax.block_until_ready(out)
+    _ = float(out.sum())
 
-    n_iters = 10
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = jfn(*args)
-    jax.block_until_ready(out)
+    _ = float(out.sum())
     dt = time.perf_counter() - t0
 
     batch = args[1].shape[0]

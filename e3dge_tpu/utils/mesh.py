@@ -52,6 +52,18 @@ def _load_native():
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
     ]
+    lib.rasterize.restype = ctypes.c_int64
+    lib.rasterize.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -192,6 +204,63 @@ def xyz2mesh(xyz: np.ndarray):
     d = idx[1:, 1:].ravel()
     faces = np.concatenate([np.stack([a, b, c], -1), np.stack([b, d, c], -1)], 0)
     return verts, faces.astype(np.int32)
+
+
+def rasterize(verts_screen: np.ndarray, faces: np.ndarray, vertex_color: np.ndarray, height: int, width: int):
+    """Z-buffer rasterize a mesh: verts [V, 3] as (x_pix, y_pix, depth), faces
+    [F, 3], vertex_color [V] -> (color [H, W], depth [H, W]; depth 0 = background).
+
+    Native C++ (marching.cpp rasterize); replaces the reference's pytorch3d depth
+    renderer on the noise-projection path."""
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native rasterizer unavailable (build e3dge_tpu/native)")
+    v = np.ascontiguousarray(verts_screen, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    c = np.ascontiguousarray(vertex_color, dtype=np.float32)
+    out_color = np.empty((height, width), np.float32)
+    out_depth = np.empty((height, width), np.float32)
+    lib.rasterize(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(f),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height,
+        width,
+        out_color.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out_color, out_depth
+
+
+def project_noise(
+    noise: np.ndarray,          # [1, 1, H, W] current noise buffer
+    verts: np.ndarray,          # [V, 3] world-space mesh verts
+    faces: np.ndarray,          # [F, 3]
+    calibs: np.ndarray,         # [4, 4] uv-space calib for the target view
+    vert_noise: np.ndarray | None = None,  # [V] fixed per-vertex noise
+    prev_noise: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Geometry-aware noise projection (reference NoiseInjection.project_noise,
+    stylesdf_model.py:423-457): rasterize a fixed per-vertex noise texture through
+    the view; keep the previous noise where the mesh gives no coverage. Returns
+    (projected noise [1, 1, H, W], vert_noise for reuse across frames)."""
+    _, _, h, w = noise.shape
+    if vert_noise is None:
+        vert_noise = np.random.RandomState(0).randn(len(verts)).astype(np.float32)
+    # world -> uv via calib, then uv -> pixels with the y-flip (grid convention)
+    homo = calibs[:3, :3] @ verts.T + calibs[:3, 3:4]  # [3, V]
+    depth = -homo[2]
+    u = homo[0] / np.where(np.abs(depth) < 1e-8, 1e-8, depth)
+    v = -homo[1] / np.where(np.abs(depth) < 1e-8, 1e-8, depth)
+    x_pix = (u + 1.0) * 0.5 * w
+    y_pix = (v + 1.0) * 0.5 * h
+    screen = np.stack([x_pix, y_pix, depth], axis=-1).astype(np.float32)
+    color, dep = rasterize(screen, faces, vert_noise, h, w)
+    base = prev_noise if prev_noise is not None else noise
+    out = np.where(dep[None, None] > 0, color[None, None], base)
+    return out.astype(np.float32), vert_noise
 
 
 def save_obj(path: str | os.PathLike, verts: np.ndarray, faces: np.ndarray) -> None:
