@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -44,26 +45,32 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    # Gather whole channel rows from a channels-last layout: each sampled location
+    # reads one contiguous C-vector — TPU-friendly vector loads instead of per-
+    # element gathers (which are the slow path).
+    x_nlc = jnp.transpose(x, (0, 2, 3, 1)).reshape(B, H * W, C)
+
     def gather(iy_c, ix_c):
         # Zero out-of-bounds corners (zeros padding) while clipping indices so the
         # gather itself stays in range.
         valid = (ix_c >= 0) & (ix_c <= W - 1) & (iy_c >= 0) & (iy_c <= H - 1)
         ixc = jnp.clip(ix_c, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy_c, 0, H - 1).astype(jnp.int32)
-        flat_idx = (iyc * W + ixc).reshape(B, 1, -1)  # [B, 1, Hg*Wg]
-        vals = jnp.take_along_axis(
-            x.reshape(B, C, H * W), jnp.broadcast_to(flat_idx, (B, C, flat_idx.shape[-1])), axis=2
-        )
-        vals = vals.reshape(B, C, *ix_c.shape[1:])
-        return vals * valid[:, None].astype(x.dtype)
+        flat_idx = (iyc * W + ixc).reshape(B, -1)  # [B, Hg*Wg]
+        vals = jnp.take_along_axis(x_nlc, flat_idx[:, :, None], axis=1)  # [B, N, C]
+        return vals * valid.reshape(B, -1, 1).astype(x.dtype)
 
+    w00 = (wy0 * wx0).reshape(B, -1, 1)
+    w01 = (wy0 * wx1).reshape(B, -1, 1)
+    w10 = (wy1 * wx0).reshape(B, -1, 1)
+    w11 = (wy1 * wx1).reshape(B, -1, 1)
     out = (
-        gather(iy0, ix0) * (wy0 * wx0)[:, None]
-        + gather(iy0, ix1) * (wy0 * wx1)[:, None]
-        + gather(iy1, ix0) * (wy1 * wx0)[:, None]
-        + gather(iy1, ix1) * (wy1 * wx1)[:, None]
-    )
-    return out
+        gather(iy0, ix0) * w00
+        + gather(iy0, ix1) * w01
+        + gather(iy1, ix0) * w10
+        + gather(iy1, ix1) * w11
+    )  # [B, N, C]
+    return jnp.transpose(out, (0, 2, 1)).reshape(B, C, *grid.shape[1:3])
 
 
 def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -91,6 +98,9 @@ def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wx1, wy1, wz1 = ix - ix0, iy - iy0, iz - iz0
     wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
 
+    # channels-last row gathers (see grid_sample)
+    x_nlc = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B, D * H * W, C)
+
     def gather(iz_c, iy_c, ix_c):
         valid = (
             (ix_c >= 0) & (ix_c <= W - 1)
@@ -100,48 +110,57 @@ def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         ixc = jnp.clip(ix_c, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy_c, 0, H - 1).astype(jnp.int32)
         izc = jnp.clip(iz_c, 0, D - 1).astype(jnp.int32)
-        flat_idx = ((izc * H + iyc) * W + ixc).reshape(B, 1, -1)
-        vals = jnp.take_along_axis(
-            x.reshape(B, C, D * H * W),
-            jnp.broadcast_to(flat_idx, (B, C, flat_idx.shape[-1])),
-            axis=2,
-        )
-        vals = vals.reshape(B, C, *ix_c.shape[1:])
-        return vals * valid[:, None].astype(x.dtype)
+        flat_idx = ((izc * H + iyc) * W + ixc).reshape(B, -1)
+        vals = jnp.take_along_axis(x_nlc, flat_idx[:, :, None], axis=1)  # [B, N, C]
+        return vals * valid.reshape(B, -1, 1).astype(x.dtype)
+
+    def w(a):
+        return a.reshape(B, -1, 1)
 
     out = (
-        gather(iz0, iy0, ix0) * (wz0 * wy0 * wx0)[:, None]
-        + gather(iz0, iy0, ix0 + 1) * (wz0 * wy0 * wx1)[:, None]
-        + gather(iz0, iy0 + 1, ix0) * (wz0 * wy1 * wx0)[:, None]
-        + gather(iz0, iy0 + 1, ix0 + 1) * (wz0 * wy1 * wx1)[:, None]
-        + gather(iz0 + 1, iy0, ix0) * (wz1 * wy0 * wx0)[:, None]
-        + gather(iz0 + 1, iy0, ix0 + 1) * (wz1 * wy0 * wx1)[:, None]
-        + gather(iz0 + 1, iy0 + 1, ix0) * (wz1 * wy1 * wx0)[:, None]
-        + gather(iz0 + 1, iy0 + 1, ix0 + 1) * (wz1 * wy1 * wx1)[:, None]
-    )
-    return out
+        gather(iz0, iy0, ix0) * w(wz0 * wy0 * wx0)
+        + gather(iz0, iy0, ix0 + 1) * w(wz0 * wy0 * wx1)
+        + gather(iz0, iy0 + 1, ix0) * w(wz0 * wy1 * wx0)
+        + gather(iz0, iy0 + 1, ix0 + 1) * w(wz0 * wy1 * wx1)
+        + gather(iz0 + 1, iy0, ix0) * w(wz1 * wy0 * wx0)
+        + gather(iz0 + 1, iy0, ix0 + 1) * w(wz1 * wy0 * wx1)
+        + gather(iz0 + 1, iy0 + 1, ix0) * w(wz1 * wy1 * wx0)
+        + gather(iz0 + 1, iy0 + 1, ix0 + 1) * w(wz1 * wy1 * wx1)
+    )  # [B, N, C]
+    return jnp.transpose(out, (0, 2, 1)).reshape(B, C, *grid.shape[1:4])
+
+
+def _interp_matrix(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """[out, in] bilinear interpolation matrix matching torch F.interpolate
+    semantics (no antialias). Built host-side from static shapes."""
+    if align_corners and out_size > 1:
+        src = np.linspace(0.0, in_size - 1.0, out_size)
+    else:
+        src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    src = np.clip(src, 0.0, in_size - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), i0] += 1.0 - w1
+    m[np.arange(out_size), i1] += w1
+    return m
 
 
 def interpolate_bilinear(
     x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True
 ) -> jnp.ndarray:
-    """Bilinear resize of an NCHW tensor (replaces F.interpolate on the FPN/ADA paths).
+    """Bilinear resize of an NCHW tensor (replaces F.interpolate on the FPN / ADA /
+    hourglass paths; torch semantics for both align_corners modes).
 
-    Uses jax.image for the align_corners=False case and an explicit affine grid for
-    align_corners=True (torch semantics, used by `_upsample_add`, fpn_encoders.py:366).
-    """
+    Bilinear resize is separable, so it lowers to two small matmuls with fixed
+    interpolation matrices — MXU work instead of the gathers a grid_sample-based
+    formulation would emit (gathers are the slow path on TPU)."""
     B, C, H, W = x.shape
     Ho, Wo = size
     if (H, W) == (Ho, Wo):
         return x
-    if not align_corners:
-        return jax.image.resize(x, (B, C, Ho, Wo), method="bilinear")
-    # align_corners=True: endpoints map to endpoints.
-    ys = jnp.linspace(0.0, H - 1.0, Ho)
-    xs = jnp.linspace(0.0, W - 1.0, Wo)
-    # Convert to align_corners=False normalized coords of grid_sample:
-    gy = (2.0 * ys + 1.0) / H - 1.0
-    gx = (2.0 * xs + 1.0) / W - 1.0
-    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # [Ho, Wo, 2]
-    grid = jnp.broadcast_to(grid[None], (B, Ho, Wo, 2))
-    return grid_sample(x, grid)
+    my = jnp.asarray(_interp_matrix(Ho, H, align_corners))  # [Ho, H]
+    mx = jnp.asarray(_interp_matrix(Wo, W, align_corners))  # [Wo, W]
+    out = jnp.einsum("oh,bchw->bcow", my, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bcow->bcop", mx, out, precision=jax.lax.Precision.HIGHEST)
