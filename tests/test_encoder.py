@@ -25,8 +25,8 @@ def test_encoder_outputs():
     x = jax.random.normal(jax.random.key(0), (2, 3, cfg.encoder.input_res, cfg.encoder.input_res))
     v = model.init(jax.random.key(1), x)
     thumb, stylegan = model.apply(v, x)
-    assert thumb.shape == (2, 9, cfg.encoder.style_dim)
-    assert stylegan.shape == (2, 10, cfg.encoder.decoder_style_dim)
+    assert thumb.shape == (2, cfg.encoder.n_styles_pigan, cfg.encoder.style_dim)
+    assert stylegan.shape == (2, cfg.encoder.n_styles_decoder, cfg.encoder.decoder_style_dim)
     # single_decoder_layer: all 10 decoder rows identical
     np.testing.assert_allclose(np.asarray(stylegan[:, 0]), np.asarray(stylegan[:, 5]))
 
