@@ -266,6 +266,35 @@ class E3DGE(nn.Module):
             "ref_hit_prob": ref_hit_prob,
         }
 
+    def render_multiview(
+        self,
+        ref_info: dict[str, Any],
+        cameras: CameraParams,
+        n_views: int,
+        key: jax.Array | None = None,
+    ) -> dict[str, Any]:
+        """Batched novel-view synthesis: render V views of each of B identities in
+        ONE device program (batch axis = B*V). The reference loops views serially
+        (trainer.py render_video); batching the view axis keeps the MXU/HBM saturated
+        — this is the throughput path for video trajectories.
+
+        cameras holds B*V entries ordered [b0v0, b0v1, ..., b1v0, ...].
+        """
+        b = ref_info["orig_res_gt"].shape[0]
+
+        def tile(x):
+            if x is None or not hasattr(x, "ndim"):
+                return x
+            return jnp.repeat(x, n_views, axis=0)
+
+        tiled_ref = {
+            "ref_view_aligned_feat": tile(ref_info["ref_view_aligned_feat"]),
+            "orig_res_gt": tile(ref_info["orig_res_gt"]),
+            "pred_latents": [tile(ref_info["pred_latents"][0]), tile(ref_info["pred_latents"][1])],
+            "cam_settings": CameraParams(*(tile(f) for f in ref_info["cam_settings"])),
+        }
+        return self.que_render_given_ref(tiled_ref, cameras, key=key)
+
     # --------------------------------------------------------------- user APIs
 
     def image2image(

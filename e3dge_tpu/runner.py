@@ -95,13 +95,36 @@ class Runner:
         )
         return fn(self.variables, ref_info, camera)
 
-    def render_video(self, images: np.ndarray, n_views: int = 8, azim_range: float = 0.3):
+    def render_video(self, images: np.ndarray, n_views: int = 8, azim_range: float = 0.3, batched: bool = True):
         """Novel-view trajectory for each input (reference render_video,
-        trainer.py:1843-2012): azimuth sweep at the estimated elevation."""
+        trainer.py:1843-2012): azimuth sweep at the estimated elevation.
+
+        batched=True renders all B*V views in one device program
+        (E3DGE.render_multiview); False reproduces the reference's per-view loop.
+        """
+        from e3dge_tpu.models.e3dge import E3DGE
+
         ref_info = self.encode_ref(images)
-        frames = []
         b = images.shape[0]
-        for azim in np.linspace(-azim_range, azim_range, n_views):
+        azims = np.linspace(-azim_range, azim_range, n_views)
+        if batched:
+            elev = np.asarray(ref_info["cam_settings"].viewpoint[:, 1])
+            azim_bv = jnp.asarray(np.tile(azims, b))  # [B*V] ordered b0v0..b0vN,b1v0..
+            elev_bv = jnp.asarray(np.repeat(elev, n_views))
+            cams = camera_params_from_angles(
+                azim_bv, elev_bv, self.cfg.renderer.out_im_res, self.cfg.camera.fov_ang, self.cfg.camera.dist_radius
+            )
+            fn = self._jitted(
+                f"render_multiview_{n_views}",
+                lambda v, r, c: self.model.apply(
+                    v, r, c, n_views, method=E3DGE.render_multiview, rngs={"noise": jax.random.key(0)}
+                ),
+            )
+            out = fn(self.variables, ref_info, cams)
+            imgs = np.asarray(out["res_render_out"]["gen_imgs"])
+            return imgs.reshape(b, n_views, *imgs.shape[1:])
+        frames = []
+        for azim in azims:
             cam = camera_params_from_angles(
                 jnp.full((b,), float(azim)),
                 ref_info["cam_settings"].viewpoint[:, 1],
