@@ -44,7 +44,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "single-image inversion+render throughput (full E1 pipeline)",
+                "metric": "single-image inversion+render throughput (full E1 pipeline, 1024^2 out)",
                 "value": round(inv_per_sec, 4),
                 "unit": "inversions/sec/chip",
                 "vs_baseline": round(inv_per_sec / V100_BASELINE_INV_PER_SEC, 4),
