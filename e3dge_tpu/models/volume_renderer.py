@@ -319,6 +319,31 @@ class VolumeFeatureRenderer(nn.Module):
         sdf = self.query_sdf(pts, styles)
         return pts, sdf, valid
 
+    def mlp_init_pass(
+        self, key: jax.Array, camera: CameraParams, styles: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Sphere-initialization pass for training the SIREN SDF from scratch
+        (reference mlp_init_pass, volume_renderer.py:1833-1863): stratified frustum
+        samples; target sdf = ||pts|| - (far - near)/4. Returns (sdf, target)."""
+        c = self.cfg
+        res = c.out_im_res
+        rays_o, rays_d, viewdirs = get_rays(camera.focal, camera.poses, res)
+        b = rays_o.shape[0]
+        z_vals = sample_z_vals(
+            key,
+            jnp.broadcast_to(camera.near.reshape(b, 1, 1), (b, res, res)),
+            jnp.broadcast_to(camera.far.reshape(b, 1, 1), (b, res, res)),
+            (b, res, res),
+            c.n_samples,
+            offset_sampling=False,
+            perturb=True,
+        )
+        pts = rays_to_points(rays_o, rays_d, z_vals)
+        sdf = self.query_sdf(pts, styles)[..., 0]
+        radius = (camera.far - camera.near).reshape(b, 1, 1, 1) / 4.0
+        target = jnp.linalg.norm(jax.lax.stop_gradient(pts), axis=-1) - radius
+        return sdf, target
+
     def render_sdf_grid(self, camera: CameraParams, styles: jnp.ndarray) -> jnp.ndarray:
         """Frustum SDF samples for marching cubes: render at out_im_res x n_samples
         resolution and return the raw [B, H, W, S, 1] SDF volume (mesh path,

@@ -153,3 +153,20 @@ def test_renderer_jit_and_random_cams():
     img = fwd(variables, cam, styles)
     assert img.shape == (2, 3, cfg.renderer.out_im_res, cfg.renderer.out_im_res)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_mlp_init_pass_sphere_target():
+    cfg = tiny_test_config()
+    model = VolumeFeatureRenderer(cfg.renderer)
+    cam = _cams(batch=1, res=cfg.renderer.out_im_res)
+    styles = jax.random.normal(jax.random.key(1), (1, cfg.renderer.style_dim))
+    variables = model.init(jax.random.key(0), cam, styles)
+    sdf, target = model.apply(
+        variables, jax.random.key(2), cam, styles, method=VolumeFeatureRenderer.mlp_init_pass
+    )
+    assert sdf.shape == target.shape
+    # target sdf = ||pts|| - (far-near)/4: frustum points lie within ~0.12 of the
+    # origin, so targets fall in [-0.06, 0.06+eps] (a radius-0.06 sphere)
+    t = np.asarray(target)
+    assert t.min() > -0.061 and t.max() < 0.13
+    assert np.abs(t).max() > 0.01  # nontrivial spread
