@@ -122,3 +122,26 @@ def test_stage1_data_parallel_8dev_mesh():
     step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,))
     state2, metrics = step(state, ml_r, jax.random.key(5), 8)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_volume_d_step():
+    from e3dge_tpu.training.steps import make_volume_d_step
+
+    cfg = tiny_test_config()
+    model = E3DGE(cfg)
+    ml = _mean_latents(cfg)
+    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(v, ("volume_discriminator",), tx)
+    step = jax.jit(make_volume_d_step(model, dict(r1=10.0, viewpoint_lambda=1.0), tx))
+    res = cfg.renderer.out_im_res
+    real = jax.random.normal(jax.random.key(2), (2, 3, res, res))
+    fake = jax.random.normal(jax.random.key(3), (2, 3, res, res))
+    vp = jax.random.normal(jax.random.key(4), (2, 2)) * 0.1
+    state2, metrics = step(state, real, vp, fake)
+    assert np.isfinite(float(metrics["d_loss"]))
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: jnp.any(a != b), state.params, state2.params)
+    )
+    assert any(bool(m) for m in moved)
