@@ -7,8 +7,6 @@ Mirrors reference `project/models/stylesdf_model.py:1193-1617`.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

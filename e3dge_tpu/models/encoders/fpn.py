@@ -18,7 +18,7 @@ BatchNorm runs in the `batch_stats` collection; under a data-parallel mesh pass
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -15,14 +15,13 @@ TPU-first departures from the reference:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from e3dge_tpu.ops import blur, fused_leaky_relu, make_kernel, upsample2x
-from e3dge_tpu.ops.fused_act import SQRT2
 
 
 def _kaiming_normal_torch(key, shape, dtype=jnp.float32, a=0.2, gain_mul=1.0):

@@ -14,8 +14,6 @@ axis, and the renderer can wrap the field in `jax.checkpoint` when HBM-bound.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Mapping, Sequence
 
@@ -20,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
-from e3dge_tpu.render.camera import CameraParams, camera_params_from_angles, sweep_camera_params
+from e3dge_tpu.render.camera import CameraParams, camera_params_from_angles
 from e3dge_tpu.training import losses as L
 from e3dge_tpu.training.data import EvalImageDataset
 from e3dge_tpu.utils import editing as editing_utils

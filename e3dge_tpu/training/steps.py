@@ -19,7 +19,6 @@ materialized for it).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
