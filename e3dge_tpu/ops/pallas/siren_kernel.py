@@ -53,32 +53,41 @@ def _siren_kernel(
     out_ref,      # out [T, 8] (rgb, sdf, pad)
     *,
     depth: int,
+    precision: str,
 ):
     f32 = jnp.float32
+
+    # Measured on v5e: the kernel is VPU-bound (sin() on N*W*(D+1) ~ 226M elements
+    # dominates at ~9 ms), so matmul precision barely moves the needle — keep the
+    # exact f32 MXU path. 'bf16' kept for experiments (SIREN's gamma~30 FiLM gain
+    # amplifies matmul rounding into sin phase error, so expect visible drift).
+    if precision == "bf16":
+        def mm(a, w):
+            return jnp.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16), preferred_element_type=f32)
+    else:
+        def mm(a, w):
+            return jnp.dot(a, w, preferred_element_type=f32)
+
     pts = pts_ref[:]
     # layer 0: [T, 8] @ [8, W]
-    h = jnp.dot(pts, w_first_ref[:], preferred_element_type=f32)
+    h = mm(pts, w_first_ref[:])
     h = jnp.sin(gamma_ref[0][None, :] * (h + b_stack_ref[0][None, :]) + beta_ref[0][None, :])
     # layers 1..D-1
     for i in range(depth - 1):
-        z = jnp.dot(h, w_stack_ref[i], preferred_element_type=f32)
+        z = mm(h, w_stack_ref[i])
         h = jnp.sin(
             gamma_ref[i + 1][None, :] * (z + b_stack_ref[i + 1][None, :]) + beta_ref[i + 1][None, :]
         )
     # sdf head reads the UNMODULATED backbone (models/siren.py geo_head)
-    sdf = jnp.dot(h, w_heads_ref[:], preferred_element_type=f32)
+    sdf = mm(h, w_heads_ref[:])
     # local SFT modulation of the tex branch only (identity when alpha=beta=0)
     h = (alpha_ref[:] + 1.0) * h + lbeta_ref[:]
     # view-conditioned feature layer
-    zv = (
-        jnp.dot(h, w_vh_ref[:], preferred_element_type=f32)
-        + jnp.dot(dirs_ref[:], w_vd_ref[:], preferred_element_type=f32)
-        + b_v_ref[0][None, :]
-    )
+    zv = mm(h, w_vh_ref[:]) + mm(dirs_ref[:], w_vd_ref[:]) + b_v_ref[0][None, :]
     feat = jnp.sin(gamma_ref[depth][None, :] * zv + beta_ref[depth][None, :])
     feat_ref[:] = feat
     # heads: rgb (cols 0..2) from feat, sdf (col 3) from the backbone
-    rgb_sdf = jnp.dot(feat, w_heads_ref[:], preferred_element_type=f32) + b_heads_ref[0][None, :]
+    rgb_sdf = mm(feat, w_heads_ref[:]) + b_heads_ref[0][None, :]
     col = jax.lax.broadcasted_iota(jnp.int32, rgb_sdf.shape, 1)
     out_ref[:] = jnp.where(col == 3, sdf + b_heads_ref[0][None, :], rgb_sdf)
 
@@ -144,7 +153,7 @@ def film_vectors(params: dict, styles: jnp.ndarray, depth: int = 8):
     return jnp.stack(gammas), jnp.stack(betas)
 
 
-@partial(jax.jit, static_argnames=("depth", "width", "tile"))
+@partial(jax.jit, static_argnames=("depth", "width", "tile", "precision"))
 def siren_query_fused(
     pts: jnp.ndarray,     # [N, 3] (already box-warped)
     dirs: jnp.ndarray,    # [N, 3]
@@ -156,8 +165,12 @@ def siren_query_fused(
     depth: int = 8,
     width: int = 256,
     tile: int = 1024,
+    precision: str = "highest",
 ):
-    """Fused field query for one batch item: returns (feat [N, W], rgb_sdf [N, 8])."""
+    """Fused field query for one batch item: returns (feat [N, W], rgb_sdf [N, 8]).
+
+    precision: 'highest' (exact f32 — default; the kernel is sin/VPU-bound so bf16
+    matmuls buy nothing) or 'bf16' (experimental)."""
     n = pts.shape[0]
     n_pad = _round_up(n, tile)
 
@@ -185,7 +198,7 @@ def siren_query_fused(
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     feat, out = pl.pallas_call(
-        partial(_siren_kernel, depth=depth),
+        partial(_siren_kernel, depth=depth, precision=precision),
         grid=grid,
         in_specs=[
             row_spec(8),                          # pts

@@ -24,13 +24,20 @@ def test_fused_kernel_matches_flax():
     params = v["params"]
     pack = pack_siren_params(params, depth=depth, width=width)
     gamma, beta = film_vectors(params, styles[0], depth=depth)
+    # precision="highest": bit-close to the flax formulation
     feat, rgb_sdf = siren_query_fused(
-        pts[0], dirs[0], pack, gamma, beta, depth=depth, width=width, tile=128
+        pts[0], dirs[0], pack, gamma, beta, depth=depth, width=width, tile=128, precision="highest"
     )
-
     np.testing.assert_allclose(np.asarray(rgb_sdf[:, :3]), np.asarray(want[0, :, :3]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(rgb_sdf[:, 3]), np.asarray(want[0, :, 3]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(feat), np.asarray(want[0, :, 4:]), atol=2e-5)
+
+    # default precision='high' (3-pass bf16): near-f32 on TPU; on the CPU
+    # interpreter HIGH falls back to exact, so just bound it loosely here
+    feat_b, rgb_sdf_b = siren_query_fused(
+        pts[0], dirs[0], pack, gamma, beta, depth=depth, width=width, tile=128
+    )
+    np.testing.assert_allclose(np.asarray(feat_b), np.asarray(want[0, :, 4:]), atol=0.05)
 
 
 def test_fused_kernel_with_sft_conditions():
@@ -49,7 +56,7 @@ def test_fused_kernel_with_sft_conditions():
     pack = pack_siren_params(v["params"], depth=depth, width=width)
     gamma, beta = film_vectors(v["params"], styles[0], depth=depth)
     feat, rgb_sdf = siren_query_fused(
-        pts[0], dirs[0], pack, gamma, beta, alpha[0], lbeta[0], depth=depth, width=width, tile=128
+        pts[0], dirs[0], pack, gamma, beta, alpha[0], lbeta[0], depth=depth, width=width, tile=128, precision="highest"
     )
     # NOTE: conditions modulate the TEX branch only; sdf comes from unmodulated h in
     # the flax model. The kernel modulates before BOTH heads read h — so compare sdf
