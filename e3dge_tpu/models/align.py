@@ -111,6 +111,39 @@ class BottleneckIRPlain(nn.Module):
         return res + shortcut
 
 
+class ResidualEncoder(nn.Module):
+    """HFGI-style consultation encoder (alignment_old.py:402-452): encodes the
+    aligned residual into 64-res (scale, shift) conditions injected into the decoder
+    feature pyramid (Decoder condition hook, stylesdf_model.py:777-778)."""
+
+    cond_channels: int = 512
+    cond_res: int = 64
+    norm: str = "batch"
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        from e3dge_tpu.models.layers import EqualConv2d
+        from e3dge_tpu.ops import interpolate_bilinear, scaled_leaky_relu
+
+        h = TorchConv(32, 3, padding=1, use_bias=False, name="conv_layer1_conv")(x)
+        if self.norm == "batch":
+            h = BatchNorm(32, self.axis_name, name="conv_layer1_bn")(h, train)
+        h = PReLU(32, name="conv_layer1_prelu")(h)
+        for i, (depth, stride) in enumerate([(48, 2), (48, 1), (48, 1)]):
+            h = BottleneckIRPlain(depth, stride, self.norm, self.axis_name, name=f"conv_layer2_{i}")(h, train)
+        for i, (depth, stride) in enumerate([(64, 2), (64, 1), (64, 1)]):
+            h = BottleneckIRPlain(depth, stride, self.norm, self.axis_name, name=f"conv_layer3_{i}")(h, train)
+
+        def head(name):
+            s = EqualConv2d(self.cond_channels, 3, padding=1, name=f"{name}_0")(h)
+            s = scaled_leaky_relu(s)
+            s = EqualConv2d(self.cond_channels, 3, padding=1, name=f"{name}_2")(s)
+            return interpolate_bilinear(s, (self.cond_res, self.cond_res), align_corners=False)
+
+        return head("condition_scale3"), head("condition_shift3")
+
+
 class ResidualAligner(nn.Module):
     """ADA — occlusion-aware 2D residual alignment U-net (alignment_old.py:316-398).
 

@@ -9,6 +9,10 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # repo root
 import time
 from pathlib import Path
 

@@ -85,3 +85,15 @@ def test_residual_aligner():
     out = m.apply(v, x)
     assert out.shape == (1, 3, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_residual_encoder_conditions():
+    from e3dge_tpu.models.align import ResidualEncoder
+
+    m = ResidualEncoder(cond_channels=8, cond_res=8)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 32, 32))
+    v = m.init(jax.random.key(1), x)
+    scale, shift = m.apply(v, x)
+    assert scale.shape == (1, 8, 8, 8)
+    assert shift.shape == (1, 8, 8, 8)
+    assert np.isfinite(np.asarray(scale)).all()
