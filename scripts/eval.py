@@ -50,7 +50,9 @@ def main():
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
         decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
     )
-    variables = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs0, ml)
+    # jit the init: one compiled program instead of thousands of eager ops
+    # (critical on remote-compiled TPU backends)
+    variables = jax.jit(model.init)({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs0, ml)
 
     runner = Runner(cfg, variables, ml, work_dir=args.out)
     if args.ckpt:

@@ -59,7 +59,9 @@ def main():
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
         decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
     )
-    variables = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    # jit the init: one compiled program instead of thousands of eager ops
+    # (critical on remote-compiled TPU backends)
+    variables = jax.jit(model.init)({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
 
     # true mean latents from the (frozen, ideally pretrained) generator mapping
     means = model.apply(variables, jax.random.key(2), 1000, method=E3DGE.mean_latent)
