@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from e3dge_tpu.models.discriminator import VOLUME_D_CHANNELS, VolumeDiscConv, VolumeRenderResBlock
 from e3dge_tpu.models.encoders.fpn import HybridGradualStyleEncoderV2
+from e3dge_tpu.models.encoders.variants import Encoder4EditingHybrid, HybridBackboneEncoder
 from e3dge_tpu.utils.config import EncoderConfig
 
 
@@ -42,6 +43,8 @@ class VolumeRenderDiscriminatorEncoder(nn.Module):
 ENCODERS = {
     "HybridGradualStyleEncoder_V2": HybridGradualStyleEncoderV2,
     "VolumeRenderDiscriminatorEncoder": VolumeRenderDiscriminatorEncoder,
+    "HybridBackboneEncoder": HybridBackboneEncoder,
+    "Encoder4Editing": Encoder4EditingHybrid,
 }
 
 

@@ -85,3 +85,24 @@ def test_projector_tiny():
     assert latents[0].shape == (1, cfg.renderer.depth + 1, cfg.renderer.style_dim)
     # optimization reduces the objective
     assert float(losses[-1]) < float(losses[0])
+
+
+def test_encoder_variants_restyle_and_e4e():
+    import jax
+
+    from e3dge_tpu.models.encoders.factory import set_encoder
+
+    cfg = tiny_test_config()
+    x = jax.random.normal(jax.random.key(0), (1, 3, cfg.encoder.input_res, cfg.encoder.input_res))
+    for name in ["HybridBackboneEncoder", "Encoder4Editing"]:
+        enc = set_encoder(name, cfg.encoder)
+        v = enc.init(jax.random.key(1), x)
+        thumb, dec = enc.apply(v, x)
+        assert thumb.shape == (1, cfg.encoder.n_styles_pigan, cfg.encoder.style_dim)
+        assert dec.shape == (1, cfg.encoder.n_styles_decoder, cfg.encoder.decoder_style_dim)
+
+    # e4e progressive gating: stage 0 -> all rows equal the base row
+    enc0 = set_encoder("Encoder4Editing", cfg.encoder, stage=0)
+    v0 = enc0.init(jax.random.key(1), x)
+    thumb0, _ = enc0.apply(v0, x)
+    np.testing.assert_allclose(np.asarray(thumb0[:, 0]), np.asarray(thumb0[:, 1]), atol=1e-6)
