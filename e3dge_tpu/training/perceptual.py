@@ -97,6 +97,8 @@ class ArcFaceBackbone(nn.Module):
         w = self.param("output_weight", nn.initializers.lecun_normal(), (512, h.shape[-1]))
         b = self.param("output_bias", nn.initializers.zeros, (512,))
         h = h @ w.T + b
+        # final BatchNorm1d (model_irse.py output_layer[4]) — eval-mode affine
+        h = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="output_bn1d")(h)
         return h * jax.lax.rsqrt(jnp.sum(h**2, axis=-1, keepdims=True) + 1e-10)
 
 

@@ -291,6 +291,82 @@ def flax_path_to_torch(path: str) -> Rule | None:
     return None
 
 
+def arcface_path_to_torch(path: str) -> Rule | None:
+    """ArcFace IR-SE-50 sd (model_ir_se50.pth, reference encoders/model_irse.py):
+    torch names input_layer.{0,1,2}, body.{i}.*, output_layer.{0 bn,3 linear,4 bn1d}.
+
+    Maps OUR training/perceptual.py::ArcFaceBackbone paths (pass paths relative to
+    the backbone, e.g. 'params/facenet/body_3/conv1/conv/kernel' with top='facenet').
+    """
+    p = path.split("/")
+    rel = "/".join(p[2:])
+    if rel.startswith("input_conv/"):
+        return _lookup(_torchconv_rules("input_layer.0"), rel.split("/", 1)[1])
+    if rel.startswith("input_bn/"):
+        return _lookup(_bn_rules("input_layer.1"), rel.split("/", 1)[1])
+    if rel == "input_prelu/alpha":
+        return ("input_layer.2.weight", _identity)
+    m = re.match(r"body_(\d+)/(.+)", rel)
+    if m:
+        return _lookup(_bottleneck_ir_rules(f"body.{int(m.group(1))}", se=True), m.group(2))
+    if rel.startswith("output_bn/"):
+        return _lookup(_bn_rules("output_layer.0"), rel.split("/", 1)[1])
+    if rel == "output_weight":
+        return ("output_layer.3.weight", _identity)
+    if rel == "output_bias":
+        return ("output_layer.3.bias", _identity)
+    table = {
+        "output_bn1d/scale": ("output_layer.4.weight", _identity),
+        "output_bn1d/bias": ("output_layer.4.bias", _identity),
+        "output_bn1d/mean": ("output_layer.4.running_mean", _identity),
+        "output_bn1d/var": ("output_layer.4.running_var", _identity),
+    }
+    return table.get(rel)
+
+
+def lpips_path_to_torch(path: str) -> Rule | None:
+    """LPIPS v0.1 alex sd (reference losses/lpips): torch names
+    net.slice{1..5}.{idx}.weight for the AlexNet convs (torchvision indices
+    0,3,6,8,10) and lin{i}.model.1.weight for the heads."""
+    p = path.split("/")
+    rel = "/".join(p[1:]) if p[0] in ("params", "batch_stats") else "/".join(p)
+    # AlexNet conv taps: our conv{i} <-> torchvision features indices
+    tv_idx = {0: (1, 0), 1: (2, 3), 2: (3, 6), 3: (4, 8), 4: (5, 10)}
+    m = re.match(r"net/conv(\d)/conv/(kernel|bias)", rel)
+    if m:
+        i = int(m.group(1))
+        slice_i, feat_i = tv_idx[i]
+        suffix = "weight" if m.group(2) == "kernel" else "bias"
+        tf = _conv_to_flax if suffix == "weight" else _identity
+        return (f"net.slice{slice_i}.{feat_i}.{suffix}", tf)
+    m = re.match(r"lin(\d)_weight", rel)
+    if m:
+        # torch lin weights are [1, C, 1, 1] like ours
+        return (f"lin{m.group(1)}.model.1.weight", _identity)
+    return None
+
+
+def ingest_perceptual(variables: dict, torch_sd: dict, kind: str, strict: bool = True):
+    """Fill an LPIPS or ArcFace (IDLoss) variables tree from its torch sd."""
+    rule_fn = {"lpips": lpips_path_to_torch, "arcface": arcface_path_to_torch}[kind]
+    flat = flatten_tree(variables)
+    new_flat, missing = {}, []
+    for path, value in flat.items():
+        rule = rule_fn(path)
+        if rule is None or rule[0] not in torch_sd:
+            new_flat[path] = value
+            missing.append(path)
+            continue
+        tk, tf = rule
+        t = tf(torch_sd[tk])
+        if tuple(t.shape) != tuple(np.shape(value)):
+            raise ValueError(f"shape mismatch at {path}: {t.shape} vs {np.shape(value)}")
+        new_flat[path] = t.astype(np.asarray(value).dtype)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} unmapped perceptual params, e.g. {missing[:5]}")
+    return unflatten_tree(new_flat), missing
+
+
 def _hgfilter_rule(tp: str, sub: str) -> Rule | None:
     """HGFilter params (HGFilters.py:70-188 layout)."""
     if sub.startswith("conv1/"):

@@ -89,3 +89,44 @@ def test_normalize_and_split():
 def test_flatten_unflatten():
     tree = {"a": {"b": 1, "c": {"d": 2}}}
     assert unflatten_tree(flatten_tree(tree)) == tree
+
+
+def test_perceptual_mapping_coverage():
+    """LPIPS + ArcFace ingestion rules cover every leaf of their trees."""
+    import jax.numpy as jnp
+
+    from e3dge_tpu.training.perceptual import IDLoss, LPIPS
+    from e3dge_tpu.utils.torch_ckpt import (
+        arcface_path_to_torch,
+        ingest_perceptual,
+        lpips_path_to_torch,
+    )
+
+    lp = LPIPS()
+    x = jnp.zeros((1, 3, 64, 64))
+    v_lp = lp.init(jax.random.key(0), x, x)
+    flat = flatten_tree(jax.tree.map(np.asarray, v_lp))
+    unmapped = [p for p in flat if lpips_path_to_torch(p) is None]
+    assert not unmapped, unmapped[:10]
+
+    idl = IDLoss()
+    xi = jnp.zeros((1, 3, 112, 112))
+    v_id = idl.init(jax.random.key(0), xi, xi)
+    flat_id = flatten_tree(jax.tree.map(np.asarray, v_id))
+    unmapped = [p for p in flat_id if arcface_path_to_torch(p) is None]
+    assert not unmapped, unmapped[:10]
+
+    # roundtrip for LPIPS (small)
+    rng = np.random.RandomState(0)
+    sd, expected = {}, {}
+    for path, val in flat.items():
+        tk, tf = lpips_path_to_torch(path)
+        target = rng.randn(*np.shape(val)).astype(np.float32)
+        inv = {_identity: lambda a: a, _conv_to_flax: lambda a: np.transpose(a, (3, 2, 0, 1))}[tf]
+        sd[tk] = inv(target)
+        expected[path] = target
+    new_v, missing = ingest_perceptual(v_lp, sd, "lpips")
+    assert not missing
+    new_flat = flatten_tree(jax.tree.map(np.asarray, new_v))
+    for p2 in flat:
+        np.testing.assert_allclose(new_flat[p2], expected[p2], err_msg=p2)
