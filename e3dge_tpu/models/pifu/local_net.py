@@ -100,12 +100,34 @@ def query_features(
     return {"feats": feats, "z_condition": z_feat, "proj_xy": xy, "depth": z, "in_img": in_img}
 
 
+class SurfaceClassifier(nn.Module):
+    """Per-point SDF MLP with input skip connections (reference
+    vendor/pifu/lib/model/SurfaceClassifier.py:6-68: conv1d stack
+    [257, 1024, 512, 256, 128, 1]; layers 2..4 concat the input features).
+    Used by stage-1 netLocal 3D-supervised pretraining (HGPIFuGANNet.get_error)."""
+
+    filter_channels: tuple[int, ...] = (1024, 512, 256, 128, 1)
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[..., C_in] point features (hourglass feats + z condition) -> [..., 1]."""
+        y = feats
+        for i, ch in enumerate(self.filter_channels):
+            inp = y if i == 0 else jnp.concatenate([y, feats], axis=-1)
+            y = nn.Dense(ch, name=f"conv{i}")(inp)
+            if i != len(self.filter_channels) - 1:
+                y = jnp.where(y >= 0, y, 0.01 * y)  # leaky relu
+        return y
+
+
 class LocalFeatureNet(nn.Module):
     """The released netLocal (`HGPIFuNetGANResidualResnetFC`)."""
 
     cfg: PifuConfig
     modulation_width: int = 256      # SIREN hidden width the SFT modulates
     local_feats_dim: int = 256 + 45  # hourglass feats + PE dims
+    enable_geo_modulations: bool = False   # L_pred_geo_modulations ablation
+    enable_surface_classifier: bool = False  # stage-1 netLocal pretraining head
 
     def setup(self):
         c = self.cfg
@@ -122,6 +144,14 @@ class LocalFeatureNet(nn.Module):
         self.tex_modulation_head = ResnetBlockFC(
             self.modulation_width * 2, zero_init=True, name="local_feat_to_tex_modulations"
         )
+        if self.enable_geo_modulations:
+            # ablation path (reference L_pred_geo_modulations): zero-init EqualLinear
+            # 256 -> 2*256 geo SFT (HGPIFuGANNet.py:67-72)
+            self.geo_modulation_head = ResnetBlockFC(
+                self.modulation_width * 2, zero_init=True, name="local_feat_to_geo_modulations"
+            )
+        if self.enable_surface_classifier:
+            self.surface_classifier = SurfaceClassifier(name="surface_classifier")
 
     def filter(self, residual_images: jnp.ndarray, depth_feat: jnp.ndarray | None = None) -> jnp.ndarray:
         """[B, 3, H, W] residual (+ [B, 1, H, W] depth) -> hourglass feature map."""
@@ -138,6 +168,19 @@ class LocalFeatureNet(nn.Module):
         m = self.tex_modulation_head(local_feats)
         return m[..., : self.modulation_width], m[..., self.modulation_width :]
 
+    def geo_modulations(self, local_feats: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        m = self.geo_modulation_head(local_feats)
+        return m[..., : self.modulation_width], m[..., self.modulation_width :]
+
+    def predict_sdf(self, im_feat: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray) -> jnp.ndarray:
+        """Stage-1 netLocal pretraining: pixel-aligned feats + z condition ->
+        SurfaceClassifier SDF, masked to in-image points (HGPIFuGANNet.py:153-196).
+        Returns [B, N, 1]."""
+        q = self.query(im_feat, points, calibs)
+        feats = jnp.concatenate([q["feats"], q["z_condition"]], axis=1)  # [B, C+1, N]
+        pred = self.surface_classifier(jnp.transpose(feats, (0, 2, 1)))  # [B, N, 1]
+        return pred * q["in_img"][..., None].astype(pred.dtype)
+
     def __call__(self, residual_images, depth_feat, points, calibs):
         """Convenience end-to-end pass (used for init/shape checks). Touches the
         modulation head so `init` materializes all params."""
@@ -145,4 +188,8 @@ class LocalFeatureNet(nn.Module):
         out = self.query(im_feat, points, calibs)
         dummy = jnp.zeros(out["feats"].shape[:1] + (self.local_feats_dim,))
         self.tex_modulations(dummy)
+        if self.enable_geo_modulations:
+            self.geo_modulations(dummy)
+        if self.enable_surface_classifier:
+            self.predict_sdf(im_feat, points, calibs)
         return out

@@ -119,7 +119,15 @@ class SirenGenerator(nn.Module):
             h = layer(h, self._style_row(styles, i))
         return h
 
-    def geo_head(self, h: jnp.ndarray) -> jnp.ndarray:
+    def geo_head(
+        self, h: jnp.ndarray, conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None
+    ) -> jnp.ndarray:
+        """SDF head; optional local geo SFT modulation (reference
+        L_pred_geo_modulations path, volume_renderer.py:393-398: geometry uses
+        'global_local' strategy with (alpha+1)*h + beta before the sigma linear)."""
+        if conditions is not None:
+            alpha, beta = conditions
+            h = (alpha + 1.0) * h + beta
         return self.sigma_linear(h)
 
     def tex_head(

@@ -47,13 +47,30 @@ def split_params(params: dict, trainable_keys: Sequence[str]):
     return trainable, frozen
 
 
+def grad_centralization() -> optax.GradientTransformation:
+    """Gradient centralization (reference utils/ranger.py GC): subtract the per-
+    output-channel mean from conv/linear weight grads (ndim > 1)."""
+
+    def update(updates, state, params=None):
+        def gc(g):
+            if g.ndim > 1:
+                axes = tuple(range(1, g.ndim))
+                return g - jnp.mean(g, axis=axes, keepdims=True)
+            return g
+
+        return jax.tree.map(gc, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
 def make_optimizer(lr: float = 1e-4, name: str = "adam") -> optax.GradientTransformation:
-    """Adam (reference default betas (0.9, 0.999)) or a Ranger-equivalent
-    (RAdam + Lookahead, reference utils/ranger.py)."""
+    """Adam (reference default betas (0.9, 0.999)) or Ranger
+    (RAdam + gradient centralization, reference utils/ranger.py; the Lookahead
+    wrapper is omitted — it requires slow/fast param duplication in the state)."""
     if name == "adam":
         return optax.adam(lr, b1=0.9, b2=0.999)
     if name == "ranger":
-        return optax.chain(optax.scale_by_radam(), optax.scale(-lr))
+        return optax.chain(grad_centralization(), optax.scale_by_radam(), optax.scale(-lr))
     raise ValueError(name)
 
 
@@ -280,6 +297,28 @@ def make_cycle_step(
         return new_state, metrics
 
     return train_step
+
+
+# -------------------------------------------------- netLocal 3D pretraining
+
+
+def netlocal_pretrain_loss(
+    pred_surface_sdf: jnp.ndarray,
+    pred_uniform_sdf: jnp.ndarray,
+    gt_uniform_sdf: jnp.ndarray,
+    eikonal: jnp.ndarray | None = None,
+    lambdas: dict[str, float] | None = None,
+):
+    """Stage-1 netLocal 3D-supervised pretraining objective (reference
+    HGPIFuGANNet.get_error, HGPIFuGANNet.py:217-309): surface SDF -> 0, uniform-
+    point SDF regression, optional eikonal."""
+    lambdas = lambdas or {}
+    loss = L.l1(pred_surface_sdf, jnp.zeros_like(pred_surface_sdf)) * lambdas.get("surf_sdf_lambda", 1.0)
+    loss = loss + L.smooth_l1(pred_uniform_sdf, gt_uniform_sdf) * lambdas.get("uniform_pts_sdf_lambda", 1.0)
+    if eikonal is not None and lambdas.get("eikonal_lambda", 0.0) > 0:
+        eik, _ = L.eikonal_loss(eikonal)
+        loss = loss + lambdas["eikonal_lambda"] * eik
+    return loss
 
 
 # ---------------------------------------------------------------------- D step

@@ -97,3 +97,43 @@ def test_residual_encoder_conditions():
     assert scale.shape == (1, 8, 8, 8)
     assert shift.shape == (1, 8, 8, 8)
     assert np.isfinite(np.asarray(scale)).all()
+
+
+def test_surface_classifier_and_geo_modulations():
+    from e3dge_tpu.models.pifu.local_net import LocalFeatureNet
+
+    cfg = tiny_test_config()
+    model = LocalFeatureNet(
+        cfg.pifu,
+        modulation_width=cfg.renderer.width,
+        local_feats_dim=cfg.pifu.hourglass_dim + 45,
+        enable_geo_modulations=True,
+        enable_surface_classifier=True,
+    )
+    res_img = jax.random.normal(jax.random.key(0), (1, 3, 32, 32))
+    depth = jax.random.normal(jax.random.key(1), (1, 1, 32, 32))
+    cam = camera_params_from_angles(jnp.asarray([0.0]), jnp.asarray([0.0]), 32)
+    pts = 0.05 * jax.random.normal(jax.random.key(2), (1, 3, 7))
+    v = model.init(jax.random.key(3), res_img, depth, pts, cam.calibs)
+
+    im_feat = model.apply(v, res_img, depth, method=LocalFeatureNet.filter)
+    sdf = model.apply(v, im_feat, pts, cam.calibs, method=LocalFeatureNet.predict_sdf)
+    assert sdf.shape == (1, 7, 1)
+    assert np.isfinite(np.asarray(sdf)).all()
+
+    feats = jax.random.normal(jax.random.key(4), (1, 5, cfg.pifu.hourglass_dim + 45))
+    ga, gb = model.apply(v, feats, method=LocalFeatureNet.geo_modulations)
+    np.testing.assert_allclose(np.asarray(ga), 0.0)  # zero-init
+
+
+def test_ranger_optimizer_with_grad_centralization():
+    import optax
+
+    from e3dge_tpu.training.steps import make_optimizer
+
+    tx = make_optimizer(1e-3, "ranger")
+    params = {"w": jnp.ones((4, 3)), "b": jnp.ones((3,))}
+    grads = {"w": jnp.ones((4, 3)) + jnp.arange(3.0), "b": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert jax.tree.map(lambda x: x.shape, updates) == jax.tree.map(lambda x: x.shape, params)
