@@ -122,6 +122,7 @@ class E3DGE(nn.Module):
         z_vals: jnp.ndarray | None = None,
         key: jax.Array | None = None,
         train: bool = False,
+        noise=None,
     ) -> dict[str, Any]:
         return self.generator(
             pred_latents,
@@ -132,6 +133,7 @@ class E3DGE(nn.Module):
             renderer_only=renderer_only,
             z_vals=z_vals,
             train=train,
+            noise=noise,
         )
 
     # ------------------------------------------------------------- E1 hot path

@@ -94,3 +94,10 @@ def test_checkpoint_rotation(runner):
     runner.load_checkpoint("latest")
     v_after = jax.tree.leaves(runner.variables)[0]
     np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after))
+
+
+def test_render_video_projected_noise(runner):
+    imgs = np.random.randn(1, 3, runner.cfg.pifu.load_size, runner.cfg.pifu.load_size).astype(np.float32)
+    frames = runner.render_video_projected_noise(imgs, n_views=2)
+    assert frames.shape[:2] == (1, 2)
+    assert np.isfinite(frames).all()
