@@ -106,3 +106,20 @@ def test_encoder_variants_restyle_and_e4e():
     v0 = enc0.init(jax.random.key(1), x)
     thumb0, _ = enc0.apply(v0, x)
     np.testing.assert_allclose(np.asarray(thumb0[:, 0]), np.asarray(thumb0[:, 1]), atol=1e-6)
+
+
+def test_reference_flag_compat():
+    from e3dge_tpu.utils.options_compat import config_from_reference_flags
+
+    cfg, unknown = config_from_reference_flags([
+        "--size", "512", "--N_samples", "12", "--enable_local_model",
+        "--netLocal_type", "HGPIFuNetGANResidualResnetFC",
+        "--loadSize", "256", "--z_size", "1.12", "--fov", "6",
+        "--no_offset_sampling", "--some_dead_flag", "x",
+    ])
+    assert cfg.decoder.size == 512
+    assert cfg.renderer.n_samples == 12
+    assert cfg.renderer.enable_local_model
+    assert not cfg.renderer.offset_sampling
+    assert cfg.encoder.n_styles_decoder == cfg.decoder.n_latent  # recoupled
+    assert unknown == ["--some_dead_flag"]
