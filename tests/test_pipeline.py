@@ -124,3 +124,14 @@ def test_zero_init_modulations_match_global_render(full_pipeline):
     np.testing.assert_allclose(
         np.asarray(out["res_render_out"]["gen_imgs"]), np.asarray(plain["gen_imgs"]), atol=1e-5
     )
+
+
+def test_pool_helpers():
+    from e3dge_tpu.models.e3dge import adaptive_avg_pool, upsample_nearest
+
+    x = jnp.arange(16.0).reshape(1, 1, 4, 4)
+    down = adaptive_avg_pool(x, 2)
+    np.testing.assert_allclose(np.asarray(down[0, 0]), [[2.5, 4.5], [10.5, 12.5]])
+    up = upsample_nearest(down, 4)
+    assert up.shape == (1, 1, 4, 4)
+    np.testing.assert_allclose(np.asarray(up[0, 0, :2, :2]), 2.5)

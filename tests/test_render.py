@@ -170,3 +170,16 @@ def test_mlp_init_pass_sphere_target():
     t = np.asarray(target)
     assert t.min() > -0.061 and t.max() < 0.13
     assert np.abs(t).max() > 0.01  # nontrivial spread
+
+
+def test_sweep_camera_params():
+    from e3dge_tpu.render.camera import sweep_camera_params
+    from e3dge_tpu.utils.config import CameraConfig
+
+    cams = sweep_camera_params(batch=1, resolution=8, cfg=CameraConfig(), n_views=8)
+    v = np.asarray(cams.viewpoint)
+    assert v.shape == (8, 2)
+    # inclusive sweep over [-range, +range]
+    np.testing.assert_allclose(v[0, 0], -0.3, rtol=1e-5)
+    np.testing.assert_allclose(v[-1, 0], 0.3, rtol=1e-5)
+    np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-7)

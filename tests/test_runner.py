@@ -101,3 +101,13 @@ def test_render_video_projected_noise(runner):
     frames = runner.render_video_projected_noise(imgs, n_views=2)
     assert frames.shape[:2] == (1, 2)
     assert np.isfinite(frames).all()
+
+
+def test_evaluate3d_now(runner, tmp_path):
+    from tests.test_now import _make_now_assets
+
+    _make_now_assets(tmp_path, n=2)
+    out = runner.evaluate3d(tmp_path, batch_size=2, out_dir=tmp_path / "meshes")
+    assert out["num_meshes"] == 2
+    objs = list((tmp_path / "meshes" / "subj1").glob("*.obj"))
+    assert len(objs) == 2
