@@ -40,11 +40,38 @@ class VolumeRenderDiscriminatorEncoder(nn.Module):
         return [thumb_out, None]
 
 
+class VolumeStyleEncoder(nn.Module):
+    """Legacy joint encoder (reference stylesdf_model.py:1461-1510): volume-D
+    CoordConv backbone over the 64-res thumb predicting BOTH renderer W+ (9x256)
+    and decoder W+ (10x512) offsets."""
+
+    cfg: EncoderConfig
+    init_size: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, return_featmap: bool = False):
+        c = self.cfg
+        out = VolumeDiscConv(VOLUME_D_CHANNELS[self.init_size], 1, activate=True, name="convs_0")(x)
+        log_size = int(math.log2(self.init_size))
+        for n, i in enumerate(range(log_size - 1, 0, -1)):
+            out = VolumeRenderResBlock(VOLUME_D_CHANNELS[2**i], name=f"convs_{n + 1}")(out)
+        n_out = c.n_styles_pigan * c.style_dim + c.n_styles_decoder * c.decoder_style_dim
+        out = VolumeDiscConv(n_out, 2, name="final_conv")(out)
+        out = out.reshape(x.shape[0], -1)
+        split = c.n_styles_pigan * c.style_dim
+        thumb = out[:, :split].reshape(-1, c.n_styles_pigan, c.style_dim)
+        dec = out[:, split:].reshape(-1, c.n_styles_decoder, c.decoder_style_dim)
+        if return_featmap:
+            return {"pred_latents": [thumb, dec], "feat_maps": None, "p32": None}
+        return [thumb, dec]
+
+
 ENCODERS = {
     "HybridGradualStyleEncoder_V2": HybridGradualStyleEncoderV2,
     "VolumeRenderDiscriminatorEncoder": VolumeRenderDiscriminatorEncoder,
     "HybridBackboneEncoder": HybridBackboneEncoder,
     "Encoder4Editing": Encoder4EditingHybrid,
+    "VolumeStyleEncoder": VolumeStyleEncoder,
 }
 
 

@@ -261,19 +261,39 @@ class Runner:
 
     # ------------------------------------------------------------- validation
 
-    def validation(self, data_root: str | Path, batch_size: int = 4, max_images: int | None = None):
+    def validation(
+        self,
+        data_root: str | Path,
+        batch_size: int = 4,
+        max_images: int | None = None,
+        save_panels: bool = False,
+    ):
         """eval_2dmetrics path: invert every test image, compute L2/MAE/PSNR/SSIM
-        (+LPIPS/ID when nets provided), append scores.json (trainer.py:290-585)."""
+        (+LPIPS/ID when nets provided), append scores.json (trainer.py:290-585).
+        save_panels writes the reference's comparison panels (GT | thumb rec |
+        residual | aligned residual | full rec) under work_dir/images_for_vis."""
+        from e3dge_tpu.models.e3dge import adaptive_avg_pool as _pool
+        from e3dge_tpu.utils.image_io import save_panel
+
         ds = EvalImageDataset(data_root, size=self.cfg.pifu.load_size)
         agg: dict[str, list] = {}
         seen = 0
         t0 = time.perf_counter()
-        for batch in ds.iter_batches(batch_size):
+        for bi, batch in enumerate(ds.iter_batches(batch_size)):
             if max_images and seen >= max_images:
                 break
             imgs = jnp.asarray(batch["image"])
             out = self.image2image(imgs)
             rec = out["res_render_out"] if "res_render_out" in out else out
+            if save_panels:
+                res = imgs.shape[-1]
+                rows = {"gt": np.asarray(imgs), "rec": np.asarray(_pool(rec["gen_imgs"], res))}
+                rows["thumb"] = np.asarray(rec["gen_thumb_imgs"])
+                if "ref_info" in out:
+                    rows["residual"] = np.asarray(out["ref_info"]["orig_res_gt"])
+                if "aligned_res" in out:
+                    rows["aligned_res"] = np.asarray(out["aligned_res"])
+                save_panel(self.work_dir / "images_for_vis" / f"val_{bi:04d}.png", rows)
             pred = rec["gen_imgs"]
             res = min(pred.shape[-1], imgs.shape[-1])
             from e3dge_tpu.models.e3dge import adaptive_avg_pool

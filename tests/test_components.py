@@ -123,3 +123,28 @@ def test_reference_flag_compat():
     assert not cfg.renderer.offset_sampling
     assert cfg.encoder.n_styles_decoder == cfg.decoder.n_latent  # recoupled
     assert unknown == ["--some_dead_flag"]
+
+
+def test_volume_style_encoder_and_panels(tmp_path):
+    import jax
+
+    from e3dge_tpu.models.encoders.factory import set_encoder
+    from e3dge_tpu.utils.image_io import save_image_grid, save_panel
+
+    cfg = tiny_test_config()
+    enc = set_encoder("VolumeStyleEncoder", cfg.encoder, init_size=8)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 8, 8))
+    v = enc.init(jax.random.key(1), x)
+    thumb, dec = enc.apply(v, x)
+    assert thumb.shape == (1, cfg.encoder.n_styles_pigan, cfg.encoder.style_dim)
+    assert dec.shape == (1, cfg.encoder.n_styles_decoder, cfg.encoder.decoder_style_dim)
+
+    imgs = np.random.rand(2, 3, 8, 8).astype(np.float32) * 2 - 1
+    save_image_grid(tmp_path / "grid.png", imgs, nrow=2)
+    save_panel(tmp_path / "panel.png", {"a": imgs, "b": imgs * 0.5})
+    from PIL import Image
+
+    g = Image.open(tmp_path / "grid.png")
+    assert g.size == (16, 8)
+    p = Image.open(tmp_path / "panel.png")
+    assert p.size == (16, 16)  # 2 cols side-by-side, 2 rows stacked
