@@ -38,9 +38,22 @@ def make_mesh(
     """Build a device mesh. Default: 1-D data-parallel over all devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but jax.devices() has only "
+                f"{len(devices)} on platform "
+                f"'{devices[0].platform if devices else '?'}'. For CPU-hosted sharding "
+                f"tests set JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} BEFORE the JAX backend initializes."
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise RuntimeError(
+            f"make_mesh: mesh shape {tuple(shape)} needs {int(np.prod(shape))} devices, "
+            f"got {len(devices)}"
+        )
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, axis_names=tuple(axes))
 

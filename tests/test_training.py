@@ -45,12 +45,8 @@ def test_swap_tree():
     np.testing.assert_array_equal(np.asarray(swap_tree(x)), [1, 0, 3, 2])
 
 
-def test_synthetic_sample():
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
-    ml = _mean_latents(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+def test_synthetic_sample(tiny_test_setup):
+    cfg, model, v, ml = tiny_test_setup
     batch = model.apply(v, jax.random.key(2), 2, 1.0, True, method=E3DGE.synthetic_sample, rngs={"noise": jax.random.key(3)})
     assert batch["images"].shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
     assert batch["uniform_pts"].shape == (2, cfg.renderer.uniform_grid_sampling_num, 3)
@@ -61,12 +57,8 @@ def test_synthetic_sample():
     assert np.abs(np.asarray(batch["uniform_sdf"])).max() < 10.0
 
 
-def test_stage1_step_updates_encoder_only():
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
-    ml = _mean_latents(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+def test_stage1_step_updates_encoder_only(tiny_test_setup):
+    cfg, model, v, ml = tiny_test_setup
 
     tx = make_optimizer(1e-3)
     state = create_train_state(v, STAGE1_TRAINABLE, tx)
@@ -88,12 +80,8 @@ def test_stage1_step_updates_encoder_only():
     assert all(bool(s) for s in same)
 
 
-def test_cycle_step_runs():
-    cfg = tiny_full_config()
-    model = E3DGE(cfg)
-    ml = _mean_latents(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+def test_cycle_step_runs(tiny_full_setup):
+    cfg, model, v, ml = tiny_full_setup
     tx = make_optimizer(1e-4)
     state = create_train_state(v, STAGE22_TRAINABLE, tx)
     lambdas = dict(l2_lambda=1.0, res_lambda=1.0)
@@ -103,15 +91,11 @@ def test_cycle_step_runs():
     assert set(state2.params.keys()) == set(STAGE22_TRAINABLE)
 
 
-def test_stage1_data_parallel_8dev_mesh():
+def test_stage1_data_parallel_8dev_mesh(tiny_test_setup):
     """Full stage-1 step over the virtual 8-device CPU mesh: replicated state,
     XLA-derived grad all-reduce."""
     assert jax.device_count() >= 8
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
-    ml = _mean_latents(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    cfg, model, v, ml = tiny_test_setup
     tx = make_optimizer(1e-4)
     state = create_train_state(v, STAGE1_TRAINABLE, tx)
 
@@ -124,14 +108,148 @@ def test_stage1_data_parallel_8dev_mesh():
     assert np.isfinite(float(metrics["loss"]))
 
 
-def test_volume_d_step():
+def test_ranger_lookahead():
+    """Lookahead (reference ranger.py alpha=0.5, k=6): fast steps for k-1 iters,
+    then the k-th update pulls params halfway back to the slow copy."""
+    import optax
+
+    from e3dge_tpu.training.steps import lookahead
+
+    tx = optax.chain(optax.sgd(1.0), lookahead(sync_period=2, slow_step=0.5))
+    params = {"w": jnp.zeros((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    # step 1 (no sync): w -> -1
+    u, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(np.asarray(params["w"]), -1.0)
+    # step 2 (sync): fast would be -2; slow = 0 + 0.5*(-2 - 0) = -1 -> w = -1
+    u, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(np.asarray(params["w"]), -1.0)
+
+
+def test_pose_curriculum_schedule():
+    from e3dge_tpu.training.steps import pose_curriculum
+
+    sched = pose_curriculum()
+    # reference defaults: [0,10000,14000,...] -> [0,0.15,0.25,0.5,0.75,1]
+    assert float(sched(jnp.asarray(0))) == 0.0
+    assert float(sched(jnp.asarray(9999))) == 0.0
+    np.testing.assert_allclose(float(sched(jnp.asarray(10000))), 0.15, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(20000))), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(30000))), 1.0, rtol=1e-6)
+
+
+def test_stage22_trainable_fix_ada():
+    from e3dge_tpu.training.steps import stage22_trainable
+
+    assert "grid_align" in stage22_trainable(False)
+    assert "grid_align" not in stage22_trainable(True)
+    assert "local" in stage22_trainable(True)
+
+
+def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
+    """Sharding correctness: the 8-device dp x sp mesh cycle step must produce the
+    same loss as the unsharded run (DDP semantics of utils/dist_utils.py:7-130)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, model, v, ml = tiny_full_setup
+    tx = make_optimizer(1e-4)
+    lambdas = dict(l2_lambda=1.0, res_lambda=1.0)
+
+    # single-device reference
+    state1 = create_train_state(v, STAGE22_TRAINABLE, tx)
+    step1 = jax.jit(make_cycle_step(model, lambdas, tx), static_argnums=(3,))
+    _, m1 = step1(state1, ml, jax.random.key(5), 4)
+
+    # 4x2 dp x sp mesh with ray-axis constraints (mirrors __graft_entry__.dryrun_multichip)
+    mesh = make_mesh(8, axes=("dp", "sp"), shape=(4, 2))
+
+    def constrain_fn(name, x):
+        if x.ndim >= 4:
+            spec = [None] * x.ndim
+            spec[0] = "dp"
+            spec[2] = "sp"
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("dp")))
+
+    state8 = create_train_state(v, STAGE22_TRAINABLE, tx)
+    state8 = replicate(state8, mesh)
+    ml8 = replicate(ml, mesh)
+    step8 = jax.jit(make_cycle_step(model, lambdas, tx, constrain_fn=constrain_fn), static_argnums=(3,))
+    _, m8 = step8(state8, ml8, jax.random.key(5), 4)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-4)
+
+
+def test_cycle_step_adv_ema_refweight(tiny_full_setup):
+    """Stage-2.2 switches in one pass: adversarial term (d_apply + adv_lambda), EMA
+    accumulation, occlusion re-integration weighting, consistency lambdas."""
+    from e3dge_tpu.models.discriminator import Discriminator
+    from e3dge_tpu.models.e3dge import adaptive_avg_pool
+
+    cfg, model, v, ml = tiny_full_setup
+    tx = make_optimizer(1e-3)
+    state = create_train_state(v, STAGE22_TRAINABLE, tx, ema=True)
+
+    d_res = min(cfg.decoder.size, 32)
+    d_model = Discriminator(input_size=d_res, channel_base=16, channel_multiplier=2)
+    d_vars = d_model.init(jax.random.key(3), jnp.zeros((2, 3, d_res, d_res)))
+
+    def d_apply(params, imgs):
+        return d_model.apply({"params": params}, adaptive_avg_pool(imgs, d_res))
+
+    lambdas = dict(
+        l2_lambda=1.0, res_lambda=1.0, adv_lambda=0.01,
+        hit_prob_consistency_lambda=0.1, depth_lambda=0.1,
+    )
+    step = jax.jit(
+        make_cycle_step(model, lambdas, tx, use_ref_view_weight=True, d_apply=d_apply),
+        static_argnums=(3,),
+    )
+    state2, metrics = step(state, ml, jax.random.key(5), 2, d_vars["params"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_e_adv" in metrics and np.isfinite(float(metrics["loss_e_adv"]))
+    assert "hit_prob_consistency" in metrics
+    assert "depth_consistency" in metrics
+    # EMA present, updated, and finite — between old params and new params
+    assert state2.ema is not None
+    p_new = jax.tree.leaves(state2.params)[0]
+    e_new = jax.tree.leaves(state2.ema)[0]
+    assert np.all(np.isfinite(np.asarray(e_new)))
+    assert e_new.shape == p_new.shape
+
+
+def test_full_d_step_lazy_r1():
+    from e3dge_tpu.models.discriminator import Discriminator
+    from e3dge_tpu.training.steps import create_d_state, make_full_d_step
+
+    d_model = Discriminator(input_size=32, channel_base=16)
+    d_vars = d_model.init(jax.random.key(0), jnp.zeros((2, 3, 32, 32)))
+    tx = make_optimizer(1e-3)
+    d_state = create_d_state(d_vars["params"], tx)
+    step, d_apply = make_full_d_step(d_model, dict(discriminator_lambda=1.0, r1=10.0), tx, d_reg_every=2)
+    step = jax.jit(step)
+
+    real = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+    fake = jax.random.normal(jax.random.key(2), (2, 3, 32, 32))
+    # step 0: R1 fires (step % d_reg_every == 0)
+    d_state, m0 = step(d_state, real, fake)
+    assert float(m0["r1"]) > 0.0
+    # step 1: lazy R1 skipped
+    d_state, m1 = step(d_state, real, fake)
+    assert float(m1["r1"]) == 0.0
+    assert np.isfinite(float(m1["d"]))
+    # d_apply exposes logits for the E-side adversarial term
+    logits = d_apply(d_state.params, real)
+    assert logits.shape == (2, 1)
+
+
+def test_volume_d_step(tiny_test_setup):
     from e3dge_tpu.training.steps import make_volume_d_step
 
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
-    ml = _mean_latents(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    cfg, model, v, ml = tiny_test_setup
     tx = make_optimizer(1e-4)
     state = create_train_state(v, ("volume_discriminator",), tx)
     step = jax.jit(make_volume_d_step(model, dict(r1=10.0, viewpoint_lambda=1.0), tx))
