@@ -33,12 +33,38 @@ STAGE21_TRAINABLE = ("local", "grid_align")
 STAGE22_TRAINABLE = ("local", "grid_align", "fuse_sft_block")
 
 
+def stage22_trainable(fix_ada: bool = False) -> tuple[str, ...]:
+    """Stage-2.2 trainable set; `--fix_ada` freezes the ADA aligner
+    (reference e3dge_2dalignonly_runner.py:591, stage2.2.sh sets --fix_ada)."""
+    if fix_ada:
+        return tuple(k for k in STAGE22_TRAINABLE if k != "grid_align")
+    return STAGE22_TRAINABLE
+
+
+def pose_curriculum(
+    steps: Sequence[int] = (0, 10000, 14000, 18000, 22000, 26000),
+    lambdas: Sequence[float] = (0.0, 0.15, 0.25, 0.5, 0.75, 1.0),
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Progressive pose-range curriculum (reference get_curriculum_pose_lambda,
+    utils/data_util.py:193-210; defaults from options.py --progressive_pose_lambda/
+    _steps). Returns a jit-compatible piecewise-constant schedule step -> scale."""
+    edges = jnp.asarray(steps[1:], jnp.int32)
+    vals = jnp.asarray(lambdas, jnp.float32)
+
+    def schedule(step: jnp.ndarray) -> jnp.ndarray:
+        idx = jnp.searchsorted(edges, jnp.asarray(step, jnp.int32), side="right")
+        return vals[idx]
+
+    return schedule
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any            # trainable subtree
     frozen: Any            # frozen subtree (generator, ...)
     extra: Any             # non-param collections (batch_stats)
     opt_state: Any
+    ema: Any = None        # EMA of the trainable subtree (reference accumulate)
 
 
 def split_params(params: dict, trainable_keys: Sequence[str]):
@@ -63,19 +89,61 @@ def grad_centralization() -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
 
 
+class LookaheadState(NamedTuple):
+    slow: Any
+    count: jnp.ndarray
+
+
+def lookahead(sync_period: int = 6, slow_step: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (reference utils/ranger.py alpha=0.5, k=6): keeps slow
+    params in the optimizer state; every `sync_period` steps the effective update
+    pulls the fast params toward the slow EMA and syncs the slow copy."""
+
+    def init(params):
+        return LookaheadState(
+            slow=jax.tree.map(jnp.asarray, params), count=jnp.zeros([], jnp.int32)
+        )
+
+    def update(updates, state, params):
+        if params is None:
+            raise ValueError("lookahead requires params")
+        count = state.count + 1
+        sync = (count % sync_period == 0).astype(jnp.float32)
+
+        def leaf_update(u, s, p):
+            fast = p + u
+            slow_new = s + slow_step * (fast - s)
+            return sync * (slow_new - p) + (1.0 - sync) * u
+
+        def leaf_slow(u, s, p):
+            fast = p + u
+            slow_new = s + slow_step * (fast - s)
+            return sync * slow_new + (1.0 - sync) * s
+
+        new_updates = jax.tree.map(leaf_update, updates, state.slow, params)
+        new_slow = jax.tree.map(leaf_slow, updates, state.slow, params)
+        return new_updates, LookaheadState(slow=new_slow, count=count)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float = 1e-4, name: str = "adam") -> optax.GradientTransformation:
     """Adam (reference default betas (0.9, 0.999)) or Ranger
-    (RAdam + gradient centralization, reference utils/ranger.py; the Lookahead
-    wrapper is omitted — it requires slow/fast param duplication in the state)."""
+    (RAdam + gradient centralization + Lookahead, reference utils/ranger.py)."""
     if name == "adam":
         return optax.adam(lr, b1=0.9, b2=0.999)
     if name == "ranger":
-        return optax.chain(grad_centralization(), optax.scale_by_radam(), optax.scale(-lr))
+        return optax.chain(
+            grad_centralization(), optax.scale_by_radam(), optax.scale(-lr), lookahead()
+        )
     raise ValueError(name)
 
 
 def create_train_state(
-    variables: dict, trainable_keys: Sequence[str], tx: optax.GradientTransformation
+    variables: dict,
+    trainable_keys: Sequence[str],
+    tx: optax.GradientTransformation,
+    ema: bool = False,
 ) -> TrainState:
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
@@ -86,6 +154,7 @@ def create_train_state(
         frozen=frozen,
         extra=extra,
         opt_state=tx.init(trainable),
+        ema=jax.tree.map(jnp.copy, trainable) if ema else None,
     )
 
 
@@ -215,21 +284,49 @@ def make_cycle_step(
     lpips_fn: Callable | None = None,
     id_fn: Callable | None = None,
     constrain_fn: Callable | None = None,
+    pose_scale_schedule: Callable[[jnp.ndarray], jnp.ndarray] = lambda step: jnp.asarray(1.0),
+    use_ref_view_weight: bool = False,
+    d_apply: Callable | None = None,
+    ema_decay: float = 0.5 ** (32 / 10_000),
 ):
     """Stage-2 cycle training: id-paired views, odd/even swap, cross-view
     reconstruction through the E1 local branch (e3dge_2dalignonly_runner.py:354-465).
 
     constrain_fn(name, x) -> x optionally applies sharding constraints (e.g. ray-axis
     'sp' sharding) to the main intermediates under a device mesh.
+
+    Stage-2.2 behavioral switches (reference scripts/train/ffhq/stage2.2.sh +
+    trainer.py:1233-1268):
+      * adv_lambda > 0 with `d_apply(d_params, imgs_256) -> logits` adds the
+        non-saturating G loss on the reconstruction (the returned step then takes
+        d_params as its 5th argument);
+      * use_ref_view_weight enables the occlusion re-integration weighting of the
+        3D-projected features (cycle_runner.py:133-161);
+      * hit_prob_consistency_lambda / depth_lambda wire the ConsistencyLoss /
+        DepthLoss terms (losses/geometry_loss.py — defined in the reference,
+        exposed behind options.py:1342-1349 flags) between the local-conditioned
+        render and the detached global render at the same view;
+      * pose_scale_schedule is the progressive pose curriculum (see
+        pose_curriculum());
+      * when TrainState.ema is set, the trainable subtree is EMA-accumulated
+        (reference utils/training_utils.py:40).
     """
     cst = constrain_fn or (lambda name, x: x)
 
-    def loss_fn(trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+    def loss_fn(
+        trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int, d_params
+    ):
         variables = {"params": {**state.frozen, **trainable}, **state.extra}
         k_data, k_noise = jax.random.split(rng)
 
         batch = model.apply(
-            variables, k_data, bs, 1.0, True, method=E3DGE.synthetic_sample, rngs={"noise": k_noise}
+            variables,
+            k_data,
+            bs,
+            pose_scale_schedule(state.step),
+            True,
+            method=E3DGE.synthetic_sample,
+            rngs={"noise": k_noise},
         )
         batch["images"] = cst("images", batch["images"])
         batch["thumb_images"] = cst("thumb_images", batch["thumb_images"])
@@ -251,6 +348,7 @@ def make_cycle_step(
             ref_info,
             que_cam,
             method=E3DGE.que_render_given_ref,
+            use_ref_view_weight=use_ref_view_weight,
             rngs={"noise": k_noise},
         )
         rec = que_out["res_render_out"]
@@ -258,14 +356,23 @@ def make_cycle_step(
         rec["gen_thumb_imgs"] = cst("gen_thumb_imgs", rec["gen_thumb_imgs"])
 
         res = min(rec["gen_imgs"].shape[-1], 256)
+        rec_256 = adaptive_avg_pool(rec["gen_imgs"], res)
         loss_2d, m2d = L.calc_2d_rec_loss(
-            adaptive_avg_pool(rec["gen_imgs"], res),
+            rec_256,
             adaptive_avg_pool(que_images, res),
             lambdas,
             lpips_fn=lpips_fn,
             id_fn=id_fn,
         )
         loss = loss_2d
+
+        # adversarial term on the reconstruction (trainer.py:1233-1268; stage2.2.sh
+        # sets adv_lambda 0.01 with the full-res D via --enable_G1)
+        if d_apply is not None and lambdas.get("adv_lambda", 0.0) > 0:
+            fake_pred = d_apply(d_params, rec_256)
+            adv = L.g_nonsaturating_loss(fake_pred)
+            loss = loss + lambdas["adv_lambda"] * adv
+            m2d["loss_e_adv"] = adv
 
         if lambdas.get("supervise_both_gen_imgs", 1.0) > 0:
             thumb_loss, _ = L.calc_2d_rec_loss(
@@ -284,16 +391,36 @@ def make_cycle_step(
             loss = loss + lambdas["res_lambda"] * res_loss
             m2d["res_loss"] = res_loss
 
+        # hit-prob / depth consistency between the local-conditioned render and the
+        # (detached) global render at the same query view
+        if lambdas.get("hit_prob_consistency_lambda", 0.0) > 0:
+            hp_loss = L.hit_prob_consistency_loss(
+                rec["hit_prob"], que_out["que_info"]["hit_prob"]
+            )
+            loss = loss + lambdas["hit_prob_consistency_lambda"] * hp_loss
+            m2d["hit_prob_consistency"] = hp_loss
+        if lambdas.get("depth_lambda", 0.0) > 0:
+            d_loss = L.depth_consistency_loss(rec["depth"], que_out["que_info"]["depth"])
+            loss = loss + lambdas["depth_lambda"] * d_loss
+            m2d["depth_consistency"] = d_loss
+
         m2d["loss"] = loss
         return loss, m2d
 
-    def train_step(state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int):
+    def train_step(
+        state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int, d_params=None
+    ):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, mean_latents, rng, bs
+            state.params, state, mean_latents, rng, bs, d_params
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = state._replace(step=state.step + 1, params=params, opt_state=opt_state)
+        ema = state.ema
+        if ema is not None:
+            from e3dge_tpu.training.train_utils import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
+        new_state = state._replace(step=state.step + 1, params=params, opt_state=opt_state, ema=ema)
         return new_state, metrics
 
     return train_step
@@ -352,3 +479,77 @@ def make_volume_d_step(model: E3DGE, lambdas: dict[str, float], tx: optax.Gradie
         return state._replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
     return train_step
+
+
+class DState(NamedTuple):
+    """Optimizer state for a standalone discriminator (the reference keeps the
+    full-res D as its own network + optimizer, trainer.py:1700-1728)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_d_state(params: Any, tx: optax.GradientTransformation) -> DState:
+    return DState(step=jnp.asarray(0, jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_full_d_step(
+    d_model,
+    lambdas: dict[str, float],
+    tx: optax.GradientTransformation,
+    d_reg_every: int = 16,
+):
+    """Full-resolution D adversarial step on reconstructions vs real images with
+    lazy R1 (reference _train_discriminator_step enable_G1 branch,
+    trainer.py:1119-1165: d_gan_loss * discriminator_lambda + r1 * 0.5 * grad_penalty
+    * d_reg_every, regularized every `d_reg_every` iters).
+
+    d_model: the flax Discriminator module (models/discriminator.py). Both image
+    batches are NCHW in [-1, 1] at the D's input_size; fakes are detached upstream.
+    """
+
+    def d_apply(params, imgs):
+        return d_model.apply({"params": params}, imgs)
+
+    def gan_loss_fn(params, real_imgs, fake_imgs):
+        real_pred = d_apply(params, real_imgs)
+        fake_pred = d_apply(params, jax.lax.stop_gradient(fake_imgs))
+        d_gan = L.d_logistic_loss(real_pred, fake_pred)
+        loss = d_gan * lambdas.get("discriminator_lambda", 1.0)
+        metrics = {
+            "d": d_gan,
+            "real_score": jnp.mean(real_pred),
+            "fake_score": jnp.mean(fake_pred),
+        }
+        return loss, metrics
+
+    def r1_fn(params, real_imgs):
+        return L.d_r1_penalty(lambda v, x: d_apply(v["params"], x), {"params": params}, real_imgs)
+
+    def train_step(state: DState, real_imgs, fake_imgs):
+        (_, metrics), grads = jax.value_and_grad(gan_loss_fn, has_aux=True)(
+            state.params, real_imgs, fake_imgs
+        )
+        r1 = lambdas.get("r1", 0.0)
+        if r1 > 0:
+            # lazy R1: full penalty grads only every d_reg_every steps (lax.cond
+            # executes one branch; the reference amortizes by scaling by d_reg_every)
+            def with_r1(p):
+                val, g = jax.value_and_grad(lambda q: r1_fn(q, real_imgs))(p)
+                g = jax.tree.map(lambda x: x * (r1 * 0.5 * d_reg_every), g)
+                return g, val
+
+            def without_r1(p):
+                return jax.tree.map(jnp.zeros_like, p), jnp.asarray(0.0)
+
+            r1_grads, r1_val = jax.lax.cond(
+                state.step % d_reg_every == 0, with_r1, without_r1, state.params
+            )
+            grads = jax.tree.map(jnp.add, grads, r1_grads)
+            metrics["r1"] = r1_val
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step, d_apply

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Stage 2.2 (reference scripts/train/ffhq/stage2.2.sh): full runner with the SFT
+# fusion block; --fix_ada freezes the aligner; adversarial term (adv_lambda 0.01,
+# r1 60) with the full-res D interleaved; progressive pose curriculum; EMA.
+# Pass --data /path/to/ffhq for real D training images (reference dataset_path).
+python scripts/train.py --stage 2.2 \
+  --iters "${ITERS:-50000}" --batch "${BATCH:-4}" --lr 5e-5 --res-lambda 1.0 \
+  --fix-ada --ema --pose-curriculum \
+  --adv-lambda 0.01 --r1 60 --d-reg-every 16 \
+  --val-every 2000 --ckpt-every 1000 \
+  --work-dir "${WORK_DIR:-runs/train/stage2.2}" "$@"
