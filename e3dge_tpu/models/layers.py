@@ -82,13 +82,15 @@ class EqualLinear(nn.Module):
     bias_init: float = 0.0
     lr_mul: float = 1.0
     activation: bool = False  # fused_lrelu when True
+    zero_init: bool = False   # constant_init(val=0, bias=0) modulation heads
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_dim = x.shape[-1]
         weight = self.param(
             "weight",
-            lambda key, shape: jax.random.normal(key, shape) / self.lr_mul,
+            (nn.initializers.zeros if self.zero_init
+             else lambda key, shape: jax.random.normal(key, shape) / self.lr_mul),
             (self.out_dim, in_dim),
         )
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from e3dge_tpu.models.align import ResnetBlockFC
 from e3dge_tpu.models.encoders.fpn import TorchConv
+from e3dge_tpu.models.layers import EqualLinear
 from e3dge_tpu.models.pifu.hourglass import HGFilter
 from e3dge_tpu.ops import grid_sample
 from e3dge_tpu.render.camera import project_points
@@ -48,19 +49,32 @@ class InstanceNorm(nn.Module):
 
 
 class ContextConv(nn.Module):
-    """conv3x3(reflect) -> ResidualBlock(InstanceNorm) -> conv1x1 — the residual/depth
-    context encoders (HGPIFuGANNetResidualInputResnetFC.py:36-45, helpers.py:318-358)."""
+    """conv3x3(reflect) -> ResidualBlock -> conv1x1 — the residual/depth context
+    encoders (HGPIFuGANNetResidualInputResnetFC.py:36-45, helpers.py:318-358).
+
+    norm='in' is the released ResnetFC variant (InstanceNorm); norm='bn' is the
+    HGPIFuNetGANResidual variant (helpers.py ResidualBlock default BatchNorm2d,
+    HGPIFuGANNetResidualInput.py:37-48)."""
 
     dim: int = 32
+    norm: str = "in"
+    axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from e3dge_tpu.models.encoders.fpn import BatchNorm
+
+        def norm(h, name):
+            if self.norm == "bn":
+                return BatchNorm(self.dim, axis_name=self.axis_name, name=name)(h, train=train)
+            return InstanceNorm(self.dim, name=name)(h)
+
         h = TorchConv(self.dim, 3, padding=0, use_bias=False, name="conv_in")(_reflect_pad(x, 1))
-        # ResidualBlock: IN -> relu -> conv3x3(reflect) -> IN -> relu -> conv3x3(reflect)
-        r = InstanceNorm(self.dim, name="rb_norm1")(h)
+        # ResidualBlock: norm -> relu -> conv3x3(reflect) -> norm -> relu -> conv3x3
+        r = norm(h, "rb_norm1")
         r = jax.nn.relu(r)
         r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv1")(_reflect_pad(r, 1))
-        r = InstanceNorm(self.dim, name="rb_norm2")(r)
+        r = norm(r, "rb_norm2")
         r = jax.nn.relu(r)
         r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv2")(_reflect_pad(r, 1))
         h = h + r
@@ -121,19 +135,25 @@ class SurfaceClassifier(nn.Module):
 
 
 class LocalFeatureNet(nn.Module):
-    """The released netLocal (`HGPIFuNetGANResidualResnetFC`)."""
+    """netLocal. variant='resnetfc' is the released `HGPIFuNetGANResidualResnetFC`
+    (InstanceNorm context convs + zero-init ResnetBlockFC tex head); variant='bn'
+    is `HGPIFuNetGANResidual` (BatchNorm context convs + zero-init EqualLinear tex
+    head, HGPIFuGANNetResidualInput.py:19-103 — the stage2.2.sh netLocal_type)."""
 
     cfg: PifuConfig
     modulation_width: int = 256      # SIREN hidden width the SFT modulates
     local_feats_dim: int = 256 + 45  # hourglass feats + PE dims
     enable_geo_modulations: bool = False   # L_pred_geo_modulations ablation
     enable_surface_classifier: bool = False  # stage-1 netLocal pretraining head
+    variant: str = "resnetfc"        # "resnetfc" | "bn"
+    axis_name: str | None = None     # SyncBN axis for the 'bn' variant
 
     def setup(self):
         c = self.cfg
-        self.residual_conv = ContextConv(32, name="residual_conv")
+        norm = "bn" if self.variant == "bn" else "in"
+        self.residual_conv = ContextConv(32, norm=norm, axis_name=self.axis_name, name="residual_conv")
         if "depth" in c.residual_context_feats:
-            self.depth_conv = ContextConv(32, name="depth_conv")
+            self.depth_conv = ContextConv(32, norm=norm, axis_name=self.axis_name, name="depth_conv")
         self.image_filter = HGFilter(
             num_stack=c.num_stack,
             num_hourglass=c.num_hourglass,
@@ -141,23 +161,31 @@ class LocalFeatureNet(nn.Module):
             name="image_filter",
         )
         # zero-init: modulations are an exact no-op at init
-        self.tex_modulation_head = ResnetBlockFC(
-            self.modulation_width * 2, zero_init=True, name="local_feat_to_tex_modulations"
-        )
+        if self.variant == "bn":
+            self.tex_modulation_head = EqualLinear(
+                self.modulation_width * 2, zero_init=True, name="local_feat_to_tex_modulations"
+            )
+        else:
+            self.tex_modulation_head = ResnetBlockFC(
+                self.modulation_width * 2, zero_init=True, name="local_feat_to_tex_modulations"
+            )
         if self.enable_geo_modulations:
             # ablation path (reference L_pred_geo_modulations): zero-init EqualLinear
-            # 256 -> 2*256 geo SFT (HGPIFuGANNet.py:67-72)
-            self.geo_modulation_head = ResnetBlockFC(
+            # 256 -> 2*256 geo SFT (HGPIFuGANNet.py:67-72,
+            # HGPIFuGANNetResidualInputResnetFC.py:81-84)
+            self.geo_modulation_head = EqualLinear(
                 self.modulation_width * 2, zero_init=True, name="local_feat_to_geo_modulations"
             )
         if self.enable_surface_classifier:
             self.surface_classifier = SurfaceClassifier(name="surface_classifier")
 
-    def filter(self, residual_images: jnp.ndarray, depth_feat: jnp.ndarray | None = None) -> jnp.ndarray:
+    def filter(
+        self, residual_images: jnp.ndarray, depth_feat: jnp.ndarray | None = None, train: bool = False
+    ) -> jnp.ndarray:
         """[B, 3, H, W] residual (+ [B, 1, H, W] depth) -> hourglass feature map."""
-        feats = self.residual_conv(residual_images)
+        feats = self.residual_conv(residual_images, train=train)
         if depth_feat is not None:
-            feats = jnp.concatenate([feats, self.depth_conv(depth_feat)], axis=1)
+            feats = jnp.concatenate([feats, self.depth_conv(depth_feat, train=train)], axis=1)
         return self.image_filter(feats)
 
     def query(self, im_feat: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray) -> dict:

@@ -43,6 +43,10 @@ def _identity(w):
     return _t(w)
 
 
+def _conv1d_to_dense(w):  # torch Conv1d [out,in,1] -> flax nn.Dense kernel [in,out]
+    return _t(w)[:, :, 0].transpose(1, 0)
+
+
 def _reshape_bias4(w):  # [C] -> [1,C,1,1]
     return _t(w).reshape(1, -1, 1, 1)
 
@@ -232,6 +236,7 @@ def flax_path_to_torch(path: str) -> Rule | None:
             name, sub = m.group(1), m.group(2)
             table = {
                 "conv_in/conv/kernel": (f"{name}.0.weight", _conv_to_flax),
+                # InstanceNorm (ResnetFC variant) params
                 "rb_norm1/scale": (f"{name}.1.conv.0.weight", _identity),
                 "rb_norm1/bias": (f"{name}.1.conv.0.bias", _identity),
                 "rb_conv1/conv/kernel": (f"{name}.1.conv.2.weight", _conv_to_flax),
@@ -240,6 +245,10 @@ def flax_path_to_torch(path: str) -> Rule | None:
                 "rb_conv2/conv/kernel": (f"{name}.1.conv.5.weight", _conv_to_flax),
                 "conv_out/conv/kernel": (f"{name}.2.weight", _conv_to_flax),
             }
+            # BatchNorm (HGPIFuNetGANResidual variant) params + running stats
+            for ours, theirs in [("rb_norm1", f"{name}.1.conv.0"), ("rb_norm2", f"{name}.1.conv.3")]:
+                for k, v in _bn_rules(theirs).items():
+                    table[f"{ours}/{k}"] = v
             return table.get(sub)
         m = re.match(r"image_filter/(.+)", rel)
         if m:
@@ -247,6 +256,10 @@ def flax_path_to_torch(path: str) -> Rule | None:
         m = re.match(r"local_feat_to_tex_modulations/(.+)", rel)
         if m:
             table = {
+                # EqualLinear tex head (HGPIFuNetGANResidual 'bn' variant)
+                "weight": ("local_feat_to_tex_modulations_linear.weight", _identity),
+                "bias": ("local_feat_to_tex_modulations_linear.bias", _identity),
+                # ResnetBlockFC tex head (released ResnetFC variant)
                 "fc_0_weight": ("local_feat_to_tex_modulations_linear.fc_0.weight", _identity),
                 "fc_0_bias": ("local_feat_to_tex_modulations_linear.fc_0.bias", _identity),
                 "fc_1_weight": ("local_feat_to_tex_modulations_linear.fc_1.weight", _identity),
@@ -254,6 +267,18 @@ def flax_path_to_torch(path: str) -> Rule | None:
                 "shortcut_weight": ("local_feat_to_tex_modulations_linear.shortcut.weight", _identity),
             }
             return table.get(m.group(1))
+        # geo-modulation head (L_pred_geo_modulations ablation: zero-init EqualLinear,
+        # HGPIFuGANNetResidualInputResnetFC.py:81-84)
+        m = re.match(r"local_feat_to_geo_modulations/(weight|bias)", rel)
+        if m:
+            return (f"local_feat_to_geo_modulations_linear.{m.group(1)}", _identity)
+        # SurfaceClassifier conv1d MLP (SurfaceClassifier.py:6-68; stage-1 netLocal
+        # pretraining head)
+        m = re.match(r"surface_classifier/conv(\d)/(kernel|bias)", rel)
+        if m:
+            if m.group(2) == "kernel":
+                return (f"surface_classifier.conv{m.group(1)}.weight", _conv1d_to_dense)
+            return (f"surface_classifier.conv{m.group(1)}.bias", _identity)
         return None
 
     # ---------------- ADA aligner

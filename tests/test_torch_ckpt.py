@@ -35,15 +35,8 @@ _INVERSE = {
 
 
 @pytest.fixture(scope="module")
-def variables():
-    cfg = tiny_full_config()
-    model = E3DGE(cfg)
-    images = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    ml = LatentMeans(
-        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
-        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
-    )
-    return model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, images, ml)
+def variables(tiny_full_setup):
+    return tiny_full_setup[2]
 
 
 def test_full_mapping_coverage(variables):
