@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from e3dge_tpu.models.encoders.fpn import TorchConv
-from e3dge_tpu.ops import interpolate_bilinear
+from e3dge_tpu.ops import interpolate_bicubic
 
 
 def _group_norm(channels: int, name: str):
@@ -85,9 +85,9 @@ class HourGlass(nn.Module):
             else:
                 low2 = ConvBlock(self.features, name=f"b2_plus_{level}")(low1)
             low3 = ConvBlock(self.features, name=f"b3_{level}")(low2)
-            # reference uses bicubic; bilinear align_corners=True is the closest
-            # XLA-friendly resampling and is what older PIFu releases used.
-            up2 = interpolate_bilinear(low3, (low3.shape[2] * 2, low3.shape[3] * 2), align_corners=True)
+            # bicubic align_corners=True, exactly the reference upsample
+            # (HGFilters.py:58-61) — same separable two-matmul form as bilinear.
+            up2 = interpolate_bicubic(low3, (low3.shape[2] * 2, low3.shape[3] * 2), align_corners=True)
             return up1 + up2
 
         return recurse(self.depth, x)

@@ -1,7 +1,12 @@
 """L0 numeric primitives (TPU-native equivalents of the reference's CUDA ops)."""
 
 from e3dge_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
-from e3dge_tpu.ops.grid_sample import grid_sample, grid_sample_3d, interpolate_bilinear
+from e3dge_tpu.ops.grid_sample import (
+    grid_sample,
+    grid_sample_3d,
+    interpolate_bicubic,
+    interpolate_bilinear,
+)
 from e3dge_tpu.ops.posenc import pos_encoding
 from e3dge_tpu.ops.upfirdn2d import (
     blur,
@@ -16,6 +21,7 @@ __all__ = [
     "scaled_leaky_relu",
     "grid_sample",
     "grid_sample_3d",
+    "interpolate_bicubic",
     "interpolate_bilinear",
     "pos_encoding",
     "upfirdn2d",

@@ -147,6 +147,36 @@ def _interp_matrix(out_size: int, in_size: int, align_corners: bool) -> np.ndarr
     return m
 
 
+def _cubic_matrix(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """[out, in] bicubic (Keys a=-0.75) interpolation matrix matching torch
+    F.interpolate(mode='bicubic') semantics: 4-tap cubic convolution with
+    border-clamped tap indices. Built host-side from static shapes."""
+    a = -0.75
+    if align_corners and out_size > 1:
+        src = np.linspace(0.0, in_size - 1.0, out_size)
+    else:
+        src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    i = np.floor(src).astype(np.int64)
+    t = src - i
+    # cubic convolution weights for taps (i-1, i, i+1, i+2)
+    w0 = ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
+    w1 = ((a + 2) * t - (a + 3)) * t * t + 1
+    s = 1 - t
+    w2 = ((a + 2) * s - (a + 3)) * s * s + 1
+    w3 = 1.0 - w0 - w1 - w2
+    m = np.zeros((out_size, in_size), np.float64)
+    rows = np.arange(out_size)
+    for off, w in ((-1, w0), (0, w1), (1, w2), (2, w3)):
+        idx = np.clip(i + off, 0, in_size - 1)
+        np.add.at(m, (rows, idx), w)
+    return m.astype(np.float32)
+
+
+def _separable_resize(x: jnp.ndarray, my: np.ndarray, mx: np.ndarray) -> jnp.ndarray:
+    out = jnp.einsum("oh,bchw->bcow", jnp.asarray(my), x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bcow->bcop", jnp.asarray(mx), out, precision=jax.lax.Precision.HIGHEST)
+
+
 def interpolate_bilinear(
     x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True
 ) -> jnp.ndarray:
@@ -160,7 +190,19 @@ def interpolate_bilinear(
     Ho, Wo = size
     if (H, W) == (Ho, Wo):
         return x
-    my = jnp.asarray(_interp_matrix(Ho, H, align_corners))  # [Ho, H]
-    mx = jnp.asarray(_interp_matrix(Wo, W, align_corners))  # [Wo, W]
-    out = jnp.einsum("oh,bchw->bcow", my, x, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("pw,bcow->bcop", mx, out, precision=jax.lax.Precision.HIGHEST)
+    return _separable_resize(x, _interp_matrix(Ho, H, align_corners), _interp_matrix(Wo, W, align_corners))
+
+
+def interpolate_bicubic(
+    x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True
+) -> jnp.ndarray:
+    """Bicubic resize of an NCHW tensor, exact torch F.interpolate(mode='bicubic')
+    semantics — the reference hourglass upsample (vendor/pifu/lib/model/
+    HGFilters.py:58-61 uses bicubic align_corners=True). The cubic kernel is
+    separable like the bilinear one, so it is the same two-matmul MXU form, just
+    with 4-tap interpolation matrices."""
+    B, C, H, W = x.shape
+    Ho, Wo = size
+    if (H, W) == (Ho, Wo):
+        return x
+    return _separable_resize(x, _cubic_matrix(Ho, H, align_corners), _cubic_matrix(Wo, W, align_corners))

@@ -106,6 +106,28 @@ def test_interpolate_bilinear_matches_torch_align_corners():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_interpolate_bicubic_matches_torch():
+    """Golden vs torch F.interpolate(mode='bicubic') — the reference hourglass
+    upsample (HGFilters.py:58-61, align_corners=True, 2x), plus odd sizes and
+    both align modes / downscale."""
+    torch = pytest.importorskip("torch")
+    from e3dge_tpu.ops import interpolate_bicubic
+
+    rng = np.random.RandomState(5)
+    for (h, w), (ho, wo), ac in [
+        ((8, 8), (16, 16), True),    # the hourglass 2x case
+        ((5, 7), (9, 13), True),
+        ((5, 7), (9, 13), False),
+        ((12, 10), (6, 5), True),    # downscale
+    ]:
+        x = rng.randn(2, 3, h, w).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(ho, wo), mode="bicubic", align_corners=ac
+        ).numpy()
+        got = np.asarray(interpolate_bicubic(jnp.asarray(x), (ho, wo), align_corners=ac))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=f"{(h,w)}->{(ho,wo)} ac={ac}")
+
+
 def test_fused_leaky_relu_matches_definition():
     rng = np.random.RandomState(4)
     x = rng.randn(2, 5, 3, 3).astype(np.float32)
