@@ -182,6 +182,69 @@ class Runner:
             frames.append(np.asarray(out["gen_imgs"]))
         return np.stack(frames, axis=1)
 
+    def create_trajectory(self, num_frames: int = 250, azim_only: bool = False) -> np.ndarray:
+        """Camera trajectory [(azim, elev)] (reference create_trajectory,
+        trainer.py:2349-2390): azimuth sweep or ellipsoid sweep over the training
+        pose range."""
+        t = np.linspace(0.0, 1.0, num_frames)
+        cc = self.cfg.camera
+        if azim_only:
+            azim = 1.5 * cc.azim_range * np.cos(t * np.pi)
+            elev = np.zeros_like(azim)
+        else:
+            azim = cc.azim_range * np.cos(t * 2 * np.pi)
+            elev = cc.elev_range / 2 + cc.elev_range / 2 * np.sin(t * 2 * np.pi)
+        return np.stack([azim, elev], axis=1).astype(np.float32)
+
+    def render_hdtf(
+        self,
+        data_root: str | Path,
+        max_frames: int = 250,
+        batch_size: int = 4,
+        trajectory_len: int = 250,
+        out_name: str = "HDTF_nvs_video",
+    ):
+        """HDTF novel-view-synthesis video eval (reference render_HDTF,
+        trainer.py:3107-3174): every video frame is inverted and re-rendered from
+        the next camera of a looping trajectory. Unlike the reference's chunk=1
+        loop, frames are processed in device batches with per-frame cameras (one
+        compiled program). Writes frames .npy (+ .mp4 when imageio/ffmpeg exists)."""
+        ds = EvalImageDataset(data_root, size=self.cfg.pifu.load_size)
+        traj = self.create_trajectory(trajectory_len)
+        frames = []
+        seen = 0
+        for batch in ds.iter_batches(batch_size):
+            if seen >= max_frames:
+                break
+            imgs_np = batch["image"]
+            valid = imgs_np.shape[0]
+            if valid < batch_size:
+                imgs_np = np.concatenate(
+                    [imgs_np, np.repeat(imgs_np[-1:], batch_size - valid, axis=0)], axis=0
+                )
+            idx = (seen + np.arange(batch_size)) % trajectory_len
+            cam = camera_params_from_angles(
+                jnp.asarray(traj[idx, 0]), jnp.asarray(traj[idx, 1]),
+                self.cfg.renderer.out_im_res, self.cfg.camera.fov_ang, self.cfg.camera.dist_radius,
+            )
+            ref = self.encode_ref(jnp.asarray(imgs_np))
+            out = self.render_view(ref, cam)
+            imgs = np.asarray(out["res_render_out"]["gen_imgs"])[:valid]
+            frames.append(imgs)
+            seen += valid
+        video = np.concatenate(frames, axis=0)[:max_frames]  # [N, 3, H, W]
+        out_dir = self.work_dir / "trajectory_videos"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        np.save(out_dir / f"{out_name}.npy", video)
+        try:
+            import imageio
+
+            u8 = ((np.clip(video.transpose(0, 2, 3, 1), -1, 1) + 1) * 127.5).astype(np.uint8)
+            imageio.mimwrite(out_dir / f"{out_name}.mp4", u8, fps=25)
+        except Exception as e:  # imageio/ffmpeg optional in this image
+            print(f"mp4 writer unavailable ({e}); frames saved as .npy")
+        return {"num_frames": int(video.shape[0]), "out_dir": str(out_dir)}
+
     # ---------------------------------------------------------------- editing
 
     def load_boundaries(self, boundary_dir: str | Path):
@@ -237,17 +300,32 @@ class Runner:
             meshes.append((verts, faces))
         return meshes
 
-    def evaluate3d(self, now_folder: str | Path, batch_size: int = 2, mode: str = "val", out_dir: str | Path | None = None):
+    def evaluate3d(
+        self,
+        now_folder: str | Path,
+        batch_size: int = 2,
+        mode: str = "val",
+        out_dir: str | Path | None = None,
+        score: bool = True,
+        max_scan_points: int = 40000,
+    ):
         """NoW-style 3D eval (reference evaluate3D, trainer.py:2103-2208): invert each
-        benchmark image, extract the mesh, export .obj per image for the official NoW
-        point-to-scan scorer; also reports on-the-fly depth stats."""
+        benchmark image, extract the mesh, export .obj per image — and, when the NoW
+        scan assets are present (scans/<subject>/*.obj + scans_lmks_onlypp/*.pp),
+        score point-to-scan distances after rigid alignment (the official
+        now_evaluation step the reference defers to, trainer.py:2205-2207),
+        reporting mean/median/std in scan units (mm)."""
+        from e3dge_tpu.training.eval3d import now_scan_error, parse_picked_points
         from e3dge_tpu.training.now_data import NoWDataset
-        from e3dge_tpu.utils.mesh import save_obj
+        from e3dge_tpu.utils.mesh import load_obj_vertices, save_obj
 
-        ds = NoWDataset(now_folder, mode=mode)
+        root = Path(now_folder)
+        ds = NoWDataset(root, mode=mode)
         out_dir = Path(out_dir or (self.work_dir / "now_meshes"))
         out_dir.mkdir(parents=True, exist_ok=True)
         n = 0
+        all_dists: list[np.ndarray] = []
+        scan_cache: dict[str, tuple] = {}
         for batch in ds.iter_batches(batch_size):
             imgs = jnp.asarray(batch["image"])
             ref = self.encode_ref(imgs)
@@ -257,9 +335,53 @@ class Runner:
                 d.mkdir(parents=True, exist_ok=True)
                 save_obj(d / f"{name}.obj", verts, faces)
                 n += 1
-        return {"num_meshes": n, "out_dir": str(out_dir)}
+                if not score or len(verts) == 0:
+                    continue
+                if subj not in scan_cache:
+                    scan_objs = sorted((root / "scans" / subj).glob("*.obj"))
+                    lms_files = sorted((root / "scans_lmks_onlypp" / subj).glob("*.pp"))
+                    scan_pts = load_obj_vertices(scan_objs[0]) if scan_objs else None
+                    scan_lms = parse_picked_points(lms_files[0]) if lms_files else None
+                    if scan_pts is not None and len(scan_pts) > max_scan_points:
+                        step = len(scan_pts) // max_scan_points + 1
+                        scan_pts = scan_pts[::step]
+                    scan_cache[subj] = (scan_pts, scan_lms)
+                scan_pts, scan_lms = scan_cache[subj]
+                if scan_pts is None:
+                    continue
+                dists = now_scan_error(verts, faces, scan_pts, scan_lms=scan_lms)
+                all_dists.append(dists[np.isfinite(dists)])
+        result = {"num_meshes": n, "out_dir": str(out_dir)}
+        if all_dists:
+            d = np.concatenate(all_dists)
+            result.update(
+                mean=float(d.mean()), median=float(np.median(d)), std=float(d.std()),
+                num_scored=len(all_dists),
+            )
+            (out_dir / "now_scores.json").write_text(json.dumps(result, indent=2))
+        return result
 
     # ------------------------------------------------------------- validation
+
+    def _per_image_metrics(self, pred: jnp.ndarray, gt: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """Per-image L2/MAE/PSNR/SSIM (+LPIPS/ID when nets provided) — the six
+        reference validation metrics (trainer.py:423-429, builder.py:130-186).
+        Per-image so padded eval batches can be masked exactly."""
+        pred01 = (pred + 1.0) / 2.0
+        gt01 = (gt + 1.0) / 2.0
+        axes = (1, 2, 3)
+        m = {
+            "loss_l2": jnp.mean((pred - gt) ** 2, axis=axes),
+            "mae": jnp.mean(jnp.abs(pred01 - gt01), axis=axes),
+            "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(jnp.mean((pred01 - gt01) ** 2, axis=axes), 1e-12)),
+            "ssim": L.ssim(pred01, gt01, per_sample=True),
+        }
+        if self.lpips_fn is not None:
+            m["loss_lpips"] = self.lpips_fn(pred, gt, per_sample=True)
+        if self.id_fn is not None:
+            _, sim = self.id_fn(pred, gt, per_sample=True)
+            m["id_sim"] = sim
+        return m
 
     def validation(
         self,
@@ -271,7 +393,10 @@ class Runner:
         """eval_2dmetrics path: invert every test image, compute L2/MAE/PSNR/SSIM
         (+LPIPS/ID when nets provided), append scores.json (trainer.py:290-585).
         save_panels writes the reference's comparison panels (GT | thumb rec |
-        residual | aligned residual | full rec) under work_dir/images_for_vis."""
+        residual | aligned residual | full rec) under work_dir/images_for_vis.
+
+        The final ragged batch is padded to batch_size (one compiled program per
+        shape) and its metrics masked to the valid entries."""
         from e3dge_tpu.models.e3dge import adaptive_avg_pool as _pool
         from e3dge_tpu.utils.image_io import save_panel
 
@@ -282,7 +407,12 @@ class Runner:
         for bi, batch in enumerate(ds.iter_batches(batch_size)):
             if max_images and seen >= max_images:
                 break
-            imgs = jnp.asarray(batch["image"])
+            imgs_np = batch["image"]
+            valid = imgs_np.shape[0]
+            if valid < batch_size:  # pad the ragged final batch to a fixed shape
+                pad = np.repeat(imgs_np[-1:], batch_size - valid, axis=0)
+                imgs_np = np.concatenate([imgs_np, pad], axis=0)
+            imgs = jnp.asarray(imgs_np)
             out = self.image2image(imgs)
             rec = out["res_render_out"] if "res_render_out" in out else out
             if save_panels:
@@ -296,18 +426,14 @@ class Runner:
                 save_panel(self.work_dir / "images_for_vis" / f"val_{bi:04d}.png", rows)
             pred = rec["gen_imgs"]
             res = min(pred.shape[-1], imgs.shape[-1])
-            from e3dge_tpu.models.e3dge import adaptive_avg_pool
-
-            _, metrics = L.calc_2d_rec_loss(
-                adaptive_avg_pool(pred, res),
-                adaptive_avg_pool(imgs, res),
-                {"l2_lambda": 1.0},
-                lpips_fn=self.lpips_fn,
-                id_fn=self.id_fn,
+            fn = self._jitted(
+                "val_metrics",
+                lambda p, g: self._per_image_metrics(_pool(p, res), _pool(g, res)),
             )
+            metrics = fn(pred, imgs)
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
-            seen += imgs.shape[0]
+                agg.setdefault(k, []).extend(np.asarray(v)[:valid].tolist())
+            seen += valid
         scores = {k: float(np.mean(v)) for k, v in agg.items()}
         scores["num_images"] = seen
         scores["sec_per_image"] = (time.perf_counter() - t0) / max(seen, 1)

@@ -50,7 +50,7 @@ def _gaussian_kernel(window: int = 11, sigma: float = 1.5):
     return g[:, None] * g[None, :]
 
 
-def ssim(pred, target, max_val: float = 1.0, window: int = 11):
+def ssim(pred, target, max_val: float = 1.0, window: int = 11, per_sample: bool = False):
     """Mean SSIM over NCHW batches (kornia ssim(window=5 in reference eval uses 11
     default; we follow the standard 11x1.5 gaussian)."""
     k = _gaussian_kernel(window).reshape(window, window, 1, 1)
@@ -71,6 +71,8 @@ def ssim(pred, target, max_val: float = 1.0, window: int = 11):
     s_pt = filt(pred * target) - mu_pt
     num = (2 * mu_pt + c1) * (2 * s_pt + c2)
     den = (mu_p2 + mu_t2 + c1) * (s_p + s_t + c2)
+    if per_sample:
+        return jnp.mean(num / den, axis=(1, 2, 3))
     return jnp.mean(num / den)
 
 

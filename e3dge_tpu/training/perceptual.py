@@ -61,7 +61,9 @@ class LPIPS(nn.Module):
     channels: Sequence[int] = (64, 192, 384, 256, 256)
 
     @nn.compact
-    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, pred: jnp.ndarray, target: jnp.ndarray, per_sample: bool = False
+    ) -> jnp.ndarray:
         net = AlexNetFeatures(name="net")
 
         def scale(x):
@@ -77,7 +79,8 @@ class LPIPS(nn.Module):
             diff = (fp - ft) ** 2
             w = self.param(f"lin{i}_weight", nn.initializers.ones, (1, self.channels[i], 1, 1))
             # 1x1 conv with non-negative weights == weighted channel sum
-            total = total + jnp.mean(jnp.sum(jnp.abs(w) * diff, axis=1))
+            tap = jnp.sum(jnp.abs(w) * diff, axis=1)  # [B, H, W]
+            total = total + (jnp.mean(tap, axis=(1, 2)) if per_sample else jnp.mean(tap))
         return total
 
 
@@ -107,7 +110,7 @@ class IDLoss(nn.Module):
     (id_loss.py:24: rows 35:223, cols 32:220 of the 256 image, pooled to 112)."""
 
     @nn.compact
-    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray):
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray, per_sample: bool = False):
         backbone = ArcFaceBackbone(name="facenet")
 
         def embed(img):
@@ -119,4 +122,41 @@ class IDLoss(nn.Module):
         e_pred = embed(pred)
         e_tgt = embed(target)
         sim = jnp.sum(e_pred * e_tgt, axis=-1)
+        if per_sample:
+            return 1.0 - sim, sim
         return jnp.mean(1.0 - sim), jnp.mean(sim)
+
+
+def make_perceptual_fns(
+    image_size: int = 256,
+    lpips_ckpt: str | None = None,
+    arcface_ckpt: str | None = None,
+    seed: int = 0,
+):
+    """Construct jitted (lpips_fn, id_fn) closures for validation / training.
+
+    When torch checkpoints are given (reference pretrained_models/model_ir_se50.pth
+    and the LPIPS alex weights), they are ingested via utils/torch_ckpt; otherwise
+    random-init nets serve as smooth surrogates (metrics then are NOT comparable to
+    the reference numbers — pass the ckpts for that).
+
+    Both returned fns accept an optional per_sample=True kwarg (static) to return
+    per-image values."""
+    lp = LPIPS()
+    x = jnp.zeros((1, 3, image_size, image_size))
+    v_lp = lp.init(jax.random.PRNGKey(seed), x, x)
+    idl = IDLoss()
+    xi = jnp.zeros((1, 3, image_size, image_size))
+    v_id = idl.init(jax.random.PRNGKey(seed + 1), xi, xi)
+
+    if lpips_ckpt or arcface_ckpt:
+        from e3dge_tpu.utils.torch_ckpt import ingest_perceptual, load_torch_file
+
+        if lpips_ckpt:
+            v_lp, _ = ingest_perceptual(v_lp, load_torch_file(lpips_ckpt), "lpips", strict=False)
+        if arcface_ckpt:
+            v_id, _ = ingest_perceptual(v_id, load_torch_file(arcface_ckpt), "arcface", strict=False)
+
+    lpips_fn = jax.jit(lambda p, t, per_sample=False: lp.apply(v_lp, p, t, per_sample), static_argnames="per_sample")
+    id_fn = jax.jit(lambda p, t, per_sample=False: idl.apply(v_id, p, t, per_sample), static_argnames="per_sample")
+    return lpips_fn, id_fn

@@ -25,7 +25,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh"], default="metrics")
+    ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh", "now", "hdtf"], default="metrics")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--torch-ckpt", default=None, help="reference .pt to ingest")
     ap.add_argument("--batch", type=int, default=4)
@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--boundaries", default=None)
     ap.add_argument("--out", default="runs/eval")
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--lpips-ckpt", default=None, help="LPIPS alex .pth to ingest")
+    ap.add_argument("--arcface-ckpt", default=None, help="model_ir_se50.pth to ingest")
+    ap.add_argument("--no-perceptual", action="store_true",
+                    help="skip LPIPS/ID metric nets (faster; scores lack those columns)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +58,20 @@ def main():
     # (critical on remote-compiled TPU backends)
     variables = jax.jit(model.init)({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs0, ml)
 
-    runner = Runner(cfg, variables, ml, work_dir=args.out)
+    lpips_fn = id_fn = None
+    if args.mode == "metrics" and not args.no_perceptual:
+        from e3dge_tpu.training.perceptual import make_perceptual_fns
+
+        lpips_fn, id_fn = make_perceptual_fns(
+            image_size=min(cfg.decoder.size, 256),
+            lpips_ckpt=args.lpips_ckpt,
+            arcface_ckpt=args.arcface_ckpt,
+        )
+        if not (args.lpips_ckpt and args.arcface_ckpt):
+            print("NOTE: LPIPS/ID nets are random-init (pass --lpips-ckpt/--arcface-ckpt "
+                  "for reference-comparable numbers)")
+
+    runner = Runner(cfg, variables, ml, work_dir=args.out, lpips_fn=lpips_fn, id_fn=id_fn)
     if args.ckpt:
         runner.load_checkpoint(Path(args.ckpt).name.removeprefix("models_"))
     if args.torch_ckpt:
@@ -91,6 +108,13 @@ def main():
         out = runner.edit_and_render(batch["image"], [0, args.smile, 0, 0, 0])
         np.save(Path(args.out) / "edited.npy", np.asarray(out["res_render_out"]["gen_imgs"]))
         print("wrote edited renders")
+    elif args.mode == "now":
+        # NoW 3D benchmark: mesh export + point-to-scan scoring when scan assets
+        # are present (reference test_ae.py deca_eval -> evaluate3D)
+        print(runner.evaluate3d(args.data, batch_size=args.batch))
+    elif args.mode == "hdtf":
+        # HDTF novel-view video eval (reference nvs_video -> render_HDTF)
+        print(runner.render_hdtf(args.data, max_frames=args.max_images or 250, batch_size=args.batch))
     elif args.mode == "mesh":
         ds = EvalImageDataset(args.data, size=cfg.pifu.load_size)
         batch = next(ds.iter_batches(args.batch))
