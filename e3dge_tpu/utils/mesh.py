@@ -269,3 +269,14 @@ def save_obj(path: str | os.PathLike, verts: np.ndarray, faces: np.ndarray) -> N
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for face in faces + 1:  # obj is 1-indexed
             f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+
+
+def load_obj_vertices(path: str | os.PathLike) -> np.ndarray:
+    """Vertex positions from a .obj (the NoW scans) — faces/uv ignored."""
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(verts, np.float64)

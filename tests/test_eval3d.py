@@ -24,6 +24,68 @@ def test_depth_and_normal_metrics():
     np.testing.assert_allclose(float(normal_consistency(n, n)), 1.0, rtol=1e-6)
 
 
+def test_umeyama_recovers_similarity():
+    from e3dge_tpu.training.eval3d import umeyama
+
+    rng = np.random.RandomState(0)
+    src = rng.randn(7, 3)
+    # ground-truth similarity
+    theta = 0.4
+    R_gt = np.array([
+        [np.cos(theta), -np.sin(theta), 0],
+        [np.sin(theta), np.cos(theta), 0],
+        [0, 0, 1],
+    ])
+    s_gt, t_gt = 2.5, np.array([0.3, -1.0, 4.0])
+    dst = s_gt * src @ R_gt.T + t_gt
+    s, R, t = umeyama(src, dst, with_scale=True)
+    np.testing.assert_allclose(s, s_gt, rtol=1e-8)
+    np.testing.assert_allclose(R, R_gt, atol=1e-8)
+    np.testing.assert_allclose(t, t_gt, atol=1e-8)
+    np.testing.assert_allclose(s * src @ R.T + t, dst, atol=1e-8)
+
+
+def test_scan_to_mesh_distance_exact():
+    from e3dge_tpu.training.eval3d import scan_to_mesh_distance
+
+    # unit right triangle in z=0 plane
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    pts = np.array([
+        [0.25, 0.25, 0.0],   # on the face -> 0
+        [0.25, 0.25, 0.5],   # above the face -> 0.5
+        [-1.0, 0.0, 0.0],    # beyond vertex A along -x -> 1.0
+        [0.5, -0.3, 0.0],    # below edge AB -> 0.3
+    ], np.float32)
+    d = scan_to_mesh_distance(pts, verts, faces)
+    np.testing.assert_allclose(d, [0.0, 0.5, 1.0, 0.3], atol=1e-5)
+
+
+def test_now_scan_error_landmark_alignment():
+    """Transformed copy of a mesh scores ~0 after landmark Umeyama alignment."""
+    from e3dge_tpu.training.eval3d import now_scan_error
+
+    rng = np.random.RandomState(1)
+    # icosahedron-ish random mesh: points on a sphere + faces from hull-ish triples
+    verts = rng.randn(40, 3)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.stack([np.arange(0, 38), np.arange(1, 39), np.arange(2, 40)], axis=1)
+    # scan = similarity-transformed vertex samples
+    theta = -0.7
+    R = np.array([
+        [np.cos(theta), 0, np.sin(theta)],
+        [0, 1, 0],
+        [-np.sin(theta), 0, np.cos(theta)],
+    ])
+    s, t = 12.0, np.array([5.0, -2.0, 1.0])
+    scan = s * verts @ R.T + t
+    lms_idx = np.arange(7)
+    d = now_scan_error(
+        verts, faces, scan, pred_lms=verts[lms_idx], scan_lms=scan[lms_idx], crop_radius=None
+    )
+    assert d.max() < 1e-4
+
+
 def test_rasterize_triangle():
     # one triangle covering the lower-left half of an 8x8 image
     verts = np.array([[0, 0, 1.0], [8, 0, 1.0], [0, 8, 1.0]], np.float32)
