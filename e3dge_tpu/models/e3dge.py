@@ -77,6 +77,8 @@ class E3DGE(nn.Module):
                 c.pifu,
                 modulation_width=c.renderer.width,
                 local_feats_dim=c.renderer.residual_local_feats_dim,
+                variant="bn" if c.pifu.netLocal_type == "HGPIFuNetGANResidual" else "resnetfc",
+                axis_name=self.axis_name,
                 name="local",
             )
             self.grid_align = ResidualAligner(axis_name=self.axis_name, name="grid_align")
@@ -162,7 +164,7 @@ class E3DGE(nn.Module):
         depth = jnp.transpose(render_out["depth"][..., 0], (0, 3, 1, 2))
         depth_256 = upsample_nearest(depth, c.pifu.load_size)
 
-        ref_feat = self.local.filter(res_gt, depth_256)
+        ref_feat = self.local.filter(res_gt, depth_256, train=train)
 
         return {
             "ref_view_aligned_feat": ref_feat,
@@ -240,7 +242,7 @@ class E3DGE(nn.Module):
         )
         que_depth = jnp.transpose(que_info["depth"][..., 0], (0, 3, 1, 2))
         que_depth_256 = upsample_nearest(que_depth, c.pifu.load_size)
-        que_feat = self.local.filter(aligned_res, que_depth_256)
+        que_feat = self.local.filter(aligned_res, que_depth_256, train=train)
         proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
         feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 

@@ -154,3 +154,18 @@ def project_points(points: jnp.ndarray, calibs: jnp.ndarray) -> jnp.ndarray:
     depth = -homo[:, 2:3]
     xy = homo[:, :2] / jnp.where(jnp.abs(depth) < 1e-8, 1e-8, depth)
     return jnp.concatenate([xy, depth], axis=1)
+
+
+def project_points_orthogonal(points: jnp.ndarray, calibs: jnp.ndarray) -> jnp.ndarray:
+    """Orthogonal projection (reference `geometry.orthogonal`,
+    vendor/pifu/lib/geometry.py:83-99): affine transform without the perspective
+    divide — the upstream-PIFu projection mode, kept for projection_mode parity.
+
+    Args:
+      points: [B, 3, N] world-space points; calibs: [B, 4, 4].
+
+    Returns [B, 3, N] (u, v, z) image-plane coordinates.
+    """
+    rot = calibs[:, :3, :3]
+    trans = calibs[:, :3, 3:4]
+    return rot @ points + trans

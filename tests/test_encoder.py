@@ -53,6 +53,40 @@ def test_volume_discriminator_pose_head():
     assert view.shape == (2, 2)  # (azim, elev) regression = pose estimator
 
 
+def test_legacy_dbackbone_encoders():
+    """StyleGANEncoder / DEncoder / FullEncoder (reference stylesdf_model.py:
+    1620-1762 legacy alt-configs) produce the W+ shapes the runners expect."""
+    import jax
+    import jax.numpy as jnp
+
+    from e3dge_tpu.models.encoders.factory import DEncoder, FullEncoder, StyleGANEncoder, set_encoder
+    from e3dge_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config().encoder
+    x = jnp.zeros((2, 3, 32, 32))
+
+    enc = StyleGANEncoder(cfg, input_size=32, channel_multiplier=1)
+    v = enc.init(jax.random.key(0), x)
+    none_r, dec = enc.apply(v, x)
+    assert none_r is None
+    assert dec.shape == (2, 2 * cfg.n_styles_decoder, cfg.decoder_style_dim)
+
+    enc2 = DEncoder(cfg, input_size=32, channel_multiplier=1)
+    v2 = enc2.init(jax.random.key(0), x)
+    rend, dec = enc2.apply(v2, x)
+    assert rend.shape == (2, cfg.n_styles_pigan, cfg.style_dim)
+    assert dec.shape == (2, cfg.n_styles_decoder, cfg.decoder_style_dim)
+
+    # FullEncoder composes thumb + full-image encoders; also reachable by factory name
+    full = set_encoder("FullEncoder", cfg, input_size=32, channel_multiplier=1)
+    assert isinstance(full, FullEncoder)
+    thumb = jnp.zeros((2, 3, 64, 64))
+    v3 = full.init(jax.random.key(0), x, thumb)
+    rend, dec = full.apply(v3, x, thumb)
+    assert rend.shape == (2, cfg.n_styles_pigan, cfg.style_dim)
+    assert dec.shape[0] == 2 and dec.shape[2] == cfg.decoder_style_dim
+
+
 def test_full_discriminator():
     model = Discriminator(input_size=32, channel_base=32, channel_multiplier=1)
     x = jax.random.normal(jax.random.key(0), (4, 3, 32, 32))

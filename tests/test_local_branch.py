@@ -55,6 +55,60 @@ def test_local_net_end_to_end_and_zero_init_modulations():
     assert alpha.shape == (2, 5, cfg.renderer.width)
 
 
+def test_local_net_bn_variant():
+    """HGPIFuNetGANResidual variant (reference HGPIFuGANNetResidualInput.py:19-103):
+    BatchNorm context convs + zero-init EqualLinear tex head; ingestion covers it."""
+    import jax
+
+    from e3dge_tpu.models.pifu.local_net import LocalFeatureNet
+    from e3dge_tpu.utils.config import tiny_full_config
+    from e3dge_tpu.utils.torch_ckpt import flatten_tree, flax_path_to_torch
+
+    cfg = tiny_full_config()
+    net = LocalFeatureNet(
+        cfg.pifu,
+        modulation_width=cfg.renderer.width,
+        local_feats_dim=cfg.renderer.residual_local_feats_dim,
+        variant="bn",
+    )
+    res = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    dep = jnp.zeros((2, 1, cfg.pifu.load_size, cfg.pifu.load_size))
+    pts = jnp.zeros((2, 3, 5))
+    calibs = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+    v = net.init(jax.random.key(0), res, dep, pts, calibs)
+    assert "batch_stats" in v  # BN running stats exist
+    # tex head is the zero-init EqualLinear
+    head = v["params"]["local_feat_to_tex_modulations"]
+    assert set(head.keys()) == {"weight", "bias"}
+    assert float(jnp.abs(head["weight"]).max()) == 0.0
+    # forward works in train mode (mutable batch stats)
+    out, mutated = net.apply(
+        v, res, dep, True, method=LocalFeatureNet.filter, mutable=["batch_stats"]
+    )
+    assert out.shape[1] == cfg.pifu.hourglass_dim
+    # every leaf (incl. BN stats + EqualLinear head) has an ingestion rule
+    flat = flatten_tree({"params": {"local": v["params"]}, "batch_stats": {"local": v["batch_stats"]}})
+    unmapped = [p for p in flat if flax_path_to_torch(p) is None]
+    assert not unmapped, unmapped[:10]
+
+
+def test_orthogonal_projection():
+    """geometry.orthogonal parity (vendor/pifu/lib/geometry.py:83-99)."""
+    from e3dge_tpu.render.camera import project_points_orthogonal
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(2, 3, 7).astype(np.float32))
+    calibs = jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1)))
+    out = project_points_orthogonal(pts, calibs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+    # affine: rot + trans applied without perspective divide
+    calibs2 = calibs.at[:, :3, 3].set(jnp.asarray([1.0, 2.0, 3.0]))
+    out2 = project_points_orthogonal(pts, calibs2)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(pts) + np.array([1.0, 2.0, 3.0]).reshape(1, 3, 1), atol=1e-6
+    )
+
+
 def test_resnet_block_fc_shortcut():
     m = ResnetBlockFC(8)
     x = jax.random.normal(jax.random.key(0), (3, 12))

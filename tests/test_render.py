@@ -121,6 +121,80 @@ def test_volume_integration_numpy_golden():
     np.testing.assert_allclose(np.asarray(out.weights).sum(-2), 1.0, rtol=1e-4)
 
 
+def test_query_hit_prob_numpy_golden():
+    """Golden for the occlusion query (reference
+    query_hitting_probability_fixed_interval, volume_renderer.py:1326-1495):
+    independent numpy re-implementation of the per-point ray construction,
+    re-integration (no_force_stop, normalized viewdirs like the reference), and
+    fractional-interval lerp; only the SIREN field query is shared."""
+    cfg = tiny_test_config().renderer
+    rnd = VolumeFeatureRenderer(cfg)
+    cam = _cams(batch=1, res=cfg.out_im_res)
+    styles = 0.1 * jax.random.normal(jax.random.key(1), (1, cfg.style_dim))
+    v = rnd.init(jax.random.key(0), cam, styles)
+
+    rng = np.random.RandomState(3)
+    B, H, W, S = 1, 2, 2, 3
+    wd_pts = rng.uniform(-0.08, 0.08, (B, H, W, S, 3)).astype(np.float32)
+    # push points in front of the ref camera (which sits at dist 1 looking at origin)
+    got = rnd.apply(v, jnp.asarray(wd_pts), cam, styles, method=VolumeFeatureRenderer.query_hit_prob)
+    assert got.shape == (B, H, W, S, 1)
+
+    # ---- numpy golden ----
+    S_ray = cfg.n_samples
+    poses = np.asarray(cam.poses)      # [B, 3, 4]
+    extr = np.asarray(cam.extrinsics)  # [B, 3, 4]
+    near = float(np.asarray(cam.near).reshape(-1)[0])
+    far = float(np.asarray(cam.far).reshape(-1)[0])
+    beta = float(np.asarray(v["params"]["sigmoid_beta"])[0])
+
+    pts = wd_pts.reshape(B, -1, 3).astype(np.float64)
+    N = pts.shape[1]
+    o = poses[:, :, 3]                           # [B, 3]
+    p_cam = np.einsum("bij,bnj->bni", extr[:, :, :3], pts) + extr[:, :, 3][:, None]
+    rays_d_ref = p_cam / (-p_cam[..., 2:3])
+    rays_d_wd = np.einsum("bij,bnj->bni", poses[:, :, :3], rays_d_ref)
+    d_norm = np.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
+    viewdirs = rays_d_wd / d_norm
+
+    if cfg.offset_sampling:
+        t = np.linspace(0.0, 1.0 - 1.0 / S_ray, S_ray)
+    else:
+        t = np.linspace(0.0, 1.0, S_ray)
+    z = near * (1 - t) + far * t                 # [S_ray]
+    q = o[:, None, None] + rays_d_wd[:, :, None] * z[None, None, :, None]  # [B,N,S_ray,3]
+    dirs = np.broadcast_to(viewdirs[:, :, None], q.shape)
+
+    raw = np.asarray(
+        rnd.apply(v, jnp.asarray(q, jnp.float32), jnp.asarray(dirs, jnp.float32), styles,
+                  method=VolumeFeatureRenderer.query_raw),
+        np.float64,
+    )
+    sdf = raw[..., 3:4]
+    # no_force_stop integration with normalized viewdirs (reference
+    # volume_renderer.py:834-836: repeat the first interval as the last dist)
+    dz = np.diff(z)
+    dists = np.concatenate([dz, dz[:1]])         # [S_ray]
+    sigma = (1.0 / (1.0 + np.exp(sdf / beta))) / beta
+    alpha = 1.0 - np.exp(-sigma * dists[None, None, :, None])
+    trans = np.cumprod(1 - alpha + 1e-10, axis=-2)
+    vis = np.concatenate([np.ones_like(alpha[..., :1, :]), trans[..., :-1, :]], axis=-2)
+    weights = alpha * vis                        # [B, N, S_ray, 1]
+
+    interval = dz[0] * d_norm                    # [B, N, 1]
+    q0 = o[:, None] + rays_d_wd * z[0]
+    idx = np.linalg.norm(pts - q0, axis=-1, keepdims=True) / interval + 1e-5
+    lo = np.clip(np.floor(idx), 0, S_ray - 1).astype(int)
+    hi = np.clip(np.ceil(idx), 0, S_ray - 1).astype(int)
+    wfrac = idx - lo
+    wsq = weights[..., 0]                        # [B, N, S_ray]
+    gather = lambda i: np.take_along_axis(wsq, i, axis=-1)
+    want = gather(lo) + wfrac * (gather(hi) - gather(lo))
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, N), want.reshape(B, N), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_renderer_forward_and_eikonal():
     cfg = tiny_test_config()
     model = VolumeFeatureRenderer(cfg.renderer)
