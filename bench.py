@@ -20,6 +20,54 @@ import jax
 V100_BASELINE_INV_PER_SEC = 2.0
 
 
+def bench_train_step() -> dict | None:
+    """Auxiliary: full-scale stage-1 training-step throughput (img/s/chip).
+
+    Reference anchor: 4x V100 training at batch 4 (README.md:173); no published
+    step time exists, so this is reported as an absolute number only."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import fast_init
+    from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+    from e3dge_tpu.training.steps import (
+        STAGE1_TRAINABLE,
+        create_train_state,
+        make_optimizer,
+        make_stage1_step,
+    )
+    from e3dge_tpu.utils.config import stage1_config
+
+    cfg = stage1_config()
+    model = E3DGE(cfg)
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    variables = fast_init(model, {"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(variables, STAGE1_TRAINABLE, tx)
+    lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.1, shape_surface_lambda=1.0)
+    step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,), donate_argnums=(0,))
+
+    bs = 4
+    state, metrics = step(state, ml, jax.random.key(2), bs)
+    _ = float(metrics["loss"])  # honest sync (see header note)
+    n = 8
+    key = jax.random.key(3)
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, ml, jax.random.fold_in(key, i), bs)
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "stage-1 training step (batch 4, full scale)",
+        "value": round(n * bs / dt, 4),
+        "unit": "img/sec/chip",
+        "ms_per_step": round(1000 * dt / n, 2),
+    }
+
+
 def main():
     from __graft_entry__ import entry
 
@@ -41,6 +89,13 @@ def main():
 
     batch = args[1].shape[0]
     inv_per_sec = n_iters * batch / dt
+
+    aux = None
+    try:
+        aux = bench_train_step()
+    except Exception as e:  # aux metric must never break the primary line
+        aux = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -48,6 +103,7 @@ def main():
                 "value": round(inv_per_sec, 4),
                 "unit": "inversions/sec/chip",
                 "vs_baseline": round(inv_per_sec / V100_BASELINE_INV_PER_SEC, 4),
+                "aux_training": aux,
             }
         )
     )

@@ -66,19 +66,12 @@ def test_metric_logger(tmp_path):
     assert json.loads(lines[1])["val/loss"] == 0.25
 
 
-def test_projector_tiny():
+def test_projector_tiny(tiny_test_setup):
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
     from e3dge_tpu.render.camera import camera_params_from_angles
     from e3dge_tpu.training.projector import project
 
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
-    ml = LatentMeans(
-        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
-        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
-    )
-    imgs = jnp.zeros((1, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    cfg, model, v, ml = tiny_test_setup
     cam = camera_params_from_angles(jnp.asarray([0.0]), jnp.asarray([0.0]), cfg.renderer.out_im_res)
     target = jax.random.uniform(jax.random.key(5), (1, 3, cfg.decoder.size, cfg.decoder.size)) * 2 - 1
     latents, losses = project(model, v, ml, target, cam, jax.random.key(6), steps=8, lr=1e-2)

@@ -18,22 +18,16 @@ def _mean_latents(cfg):
 
 
 @pytest.fixture(scope="module")
-def global_pipeline():
-    cfg = tiny_test_config()
-    model = E3DGE(cfg)
+def global_pipeline(tiny_test_setup):
+    cfg, model, v, ml = tiny_test_setup
     images = jax.random.normal(jax.random.key(0), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    ml = _mean_latents(cfg)
-    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, images, ml)
     return cfg, model, v, images, ml
 
 
 @pytest.fixture(scope="module")
-def full_pipeline():
-    cfg = tiny_full_config()
-    model = E3DGE(cfg)
+def full_pipeline(tiny_full_setup):
+    cfg, model, v, ml = tiny_full_setup
     images = jax.random.normal(jax.random.key(0), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    ml = _mean_latents(cfg)
-    v = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, images, ml)
     return cfg, model, v, images, ml
 
 

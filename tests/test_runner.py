@@ -14,15 +14,8 @@ from e3dge_tpu.utils.config import tiny_full_config
 
 
 @pytest.fixture(scope="module")
-def runner(tmp_path_factory):
-    cfg = tiny_full_config()
-    model = E3DGE(cfg)
-    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
-    ml = LatentMeans(
-        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
-        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
-    )
-    v = model.init({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+def runner(tmp_path_factory, tiny_full_setup):
+    cfg, model, v, ml = tiny_full_setup
     return Runner(cfg, v, ml, work_dir=tmp_path_factory.mktemp("run"))
 
 
