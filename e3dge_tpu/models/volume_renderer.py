@@ -63,7 +63,15 @@ class VolumeFeatureRenderer(nn.Module):
         styles: jnp.ndarray,
         conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> jnp.ndarray:
-        """Query the field at world points: concat([rgb, sdf, features])."""
+        """Query the field at world points: concat([rgb, sdf, features]).
+
+        cfg.remat_field recomputes the field in the backward pass (jax.checkpoint)
+        instead of storing the [B,H,W,S,width+4] activations — HBM for FLOPs."""
+        if self.cfg.remat_field:
+            def f(network, p, v, s, c):
+                return network(p, v, s, c)
+
+            return nn.remat(f)(self.network, self._warp(pts), viewdirs, styles, conditions)
         return self.network(self._warp(pts), viewdirs, styles, conditions)
 
     def query_sdf(self, pts: jnp.ndarray, styles: jnp.ndarray) -> jnp.ndarray:
@@ -298,6 +306,69 @@ class VolumeFeatureRenderer(nn.Module):
         w = idx - idx_floor
         out = floor_v + w * (ceil_v - floor_v)
         return out.reshape(B, H, W, S, 1)
+
+    def query_hit_prob_adapted(
+        self,
+        wd_pts: jnp.ndarray,       # [B, H, W, S, 3] query points (world space)
+        ref_camera: CameraParams,
+        ref_styles: jnp.ndarray,
+        n_chunks: int = 16,
+    ) -> jnp.ndarray:
+        """Adapted-interval occlusion query (reference
+        `query_hitting_probability_adapted_interval`, volume_renderer.py:1497-1621):
+        sample S points linearly from the ref-view near plane TO each query point and
+        take the LAST sample's hit probability — no interval lerp needed, at the cost
+        of per-point z spacing. Dormant in the reference's released configs; kept for
+        config parity. Returns [B, H, W, S, 1]."""
+        c = self.cfg
+        B, H, W, S, _ = wd_pts.shape
+        N = H * W * S
+        S_ray = c.n_samples
+
+        rays_o = ref_camera.poses[:, :, 3]
+        w2c_R = ref_camera.extrinsics[:, :, :3]
+        w2c_t = ref_camera.extrinsics[:, :, 3]
+        c2w_R = ref_camera.poses[:, :, :3]
+
+        pts = wd_pts.reshape(B, N, 3)
+        p_cam = jnp.einsum("bij,bnj->bni", w2c_R, pts) + w2c_t[:, None]
+        rays_d_ref = p_cam / (-p_cam[..., 2:3])
+        rays_d_wd = jnp.einsum("bij,bnj->bni", c2w_R, rays_d_ref)
+        viewdirs = rays_d_wd / jnp.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
+
+        near = ref_camera.near.reshape(B, 1, 1)
+        near_pts = rays_o[:, None] + rays_d_wd * near  # [B, N, 3]
+        t_vals = jnp.linspace(0.0, 1.0, S_ray)  # no offset sampling here (ref :1556)
+
+        chunk = -(-N // n_chunks)
+        pad = chunk * n_chunks - N
+
+        def pad_n(x):
+            return jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+
+        near_c = pad_n(near_pts).reshape(B, n_chunks, chunk, 3)
+        pts_c = pad_n(pts).reshape(B, n_chunks, chunk, 3)
+        vd_c = pad_n(viewdirs).reshape(B, n_chunks, chunk, 3)
+
+        def one_chunk(args):
+            np_, p, vd = args
+            # [B, chunk, S_ray, 3]: lerp from near plane to the query point
+            q = np_[:, :, None] * (1.0 - t_vals)[None, None, :, None] + p[:, :, None] * t_vals[None, None, :, None]
+            zv = jnp.linalg.norm(q - rays_o[:, None, None], axis=-1)  # true arc length
+            dirs = jnp.broadcast_to(vd[:, :, None], q.shape)
+            raw = self.query_raw(q, dirs, ref_styles)
+            out = volume_integrate(
+                raw[..., :3], raw[..., 3:4], None, zv, vd, q,
+                self.sigmoid_beta, force_background=False, no_force_stop=True,
+                fg_mask_threshold=c.fg_mask_threshold,
+            )
+            return out.weights[..., -1, :]  # hit prob of the query point itself
+
+        hp = jax.lax.map(one_chunk, (
+            jnp.moveaxis(near_c, 1, 0), jnp.moveaxis(pts_c, 1, 0), jnp.moveaxis(vd_c, 1, 0),
+        ))  # [n_chunks, B, chunk, 1]
+        hp = jnp.moveaxis(hp, 0, 1).reshape(B, n_chunks * chunk, 1)[:, :N]
+        return hp.reshape(B, H, W, S, 1)
 
     # -- 3D-supervision sampling (DATASETGAN_3D support) -----------------------
 

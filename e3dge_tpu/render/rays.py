@@ -87,3 +87,52 @@ def sample_z_vals(
 def rays_to_points(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndarray) -> jnp.ndarray:
     """pts[b,h,w,s,:] = o + t*d -> [B, H, W, S, 3]."""
     return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+
+def find_surface_secant(
+    sdf_fn,
+    rays_o: jnp.ndarray,   # [..., 3]
+    rays_d: jnp.ndarray,   # [..., 3]
+    near: jnp.ndarray,     # broadcastable to [...]
+    far: jnp.ndarray,
+    n_coarse: int = 24,
+    n_secant: int = 8,
+    level: float = 0.0,
+):
+    """Secant-method surface localization along rays (reference
+    `geometry.render_functions.perform_ray_marching` / `run_Secant_method`,
+    vendor/pifu/lib/geometry.py:132-330, restated for an SDF field at level 0):
+    coarse samples bracket the first outside->inside sign change, then a fixed
+    number of secant iterations refine the root. Fixed iteration counts keep the
+    whole thing one compiled XLA program (no data-dependent loops).
+
+    sdf_fn(pts [..., 3]) -> [..., 1]. Returns (z_surf [...], hit_mask [...]).
+    """
+    t = jnp.linspace(0.0, 1.0, n_coarse)
+    shape = rays_o.shape[:-1]
+    near = jnp.broadcast_to(jnp.asarray(near), shape)
+    far = jnp.broadcast_to(jnp.asarray(far), shape)
+    z = near[..., None] * (1.0 - t) + far[..., None] * t          # [..., C]
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., None]
+    f = sdf_fn(pts)[..., 0] - level                                # [..., C]
+
+    crossing = (f[..., :-1] > 0) & (f[..., 1:] <= 0)
+    hit = jnp.any(crossing, axis=-1)
+    idx = jnp.argmax(crossing, axis=-1)                            # first bracket
+
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    z_low, f_low = take(z, idx), take(f, idx)
+    z_high, f_high = take(z, idx + 1), take(f, idx + 1)
+
+    z_pred = z_low - f_low * (z_high - z_low) / (f_high - f_low - 1e-12)
+    for _ in range(n_secant):
+        p_mid = rays_o + z_pred[..., None] * rays_d
+        f_mid = sdf_fn(p_mid)[..., 0] - level
+        outside = f_mid > 0
+        z_low = jnp.where(outside, z_pred, z_low)
+        f_low = jnp.where(outside, f_mid, f_low)
+        z_high = jnp.where(outside, z_high, z_pred)
+        f_high = jnp.where(outside, f_high, f_mid)
+        z_pred = z_low - f_low * (z_high - z_low) / (f_high - f_low - 1e-12)
+
+    return jnp.where(hit, z_pred, far), hit

@@ -77,6 +77,51 @@ class ImageFolderDataset:
                 yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+class ShapeNetDataset:
+    """ShapeNet renders with per-image pose files (reference
+    MultiResolutionDataset_ShapeNet, data/dataset.py:328-377: a list file of image
+    paths, each with a 4x4 c2w pose at ../pose/<stem>.txt; the reference zeroes
+    the rotation/translation of the c2w before inverting — replicated here)."""
+
+    def __init__(self, list_file: str | Path, size: int = 256, zero_pose: bool = True):
+        list_file = Path(list_file)
+        self.root = list_file.parent
+        self.img_paths = [self.root / line.strip() for line in list_file.read_text().splitlines() if line.strip()]
+        if not self.img_paths:
+            raise FileNotFoundError(f"empty ShapeNet list {list_file}")
+        self.size = size
+        self.zero_pose = zero_pose
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, i: int) -> dict:
+        p = self.img_paths[i]
+        img = load_image(p, self.size)
+        pose_file = p.parent.parent / "pose" / (p.stem + ".txt")
+        pose = np.loadtxt(pose_file).reshape(4, 4).astype(np.float32)
+        if self.zero_pose:  # reference dataset.py:357-359
+            pose[:3, :3] = np.eye(3)
+            pose[:3, 3] = 0.0
+        extrinsics = np.linalg.inv(pose)
+        return {
+            "image": img,
+            "img_path": str(p),
+            "poses": pose[:3, :4],
+            "extrinsics": extrinsics[:3, :4].astype(np.float32),
+        }
+
+    def iter_batches(self, batch_size: int) -> Iterator[dict]:
+        for s in range(0, len(self), batch_size):
+            items = [self[j] for j in range(s, min(s + batch_size, len(self)))]
+            yield {
+                "image": np.stack([it["image"] for it in items]),
+                "img_path": [it["img_path"] for it in items],
+                "poses": np.stack([it["poses"] for it in items]),
+                "extrinsics": np.stack([it["extrinsics"] for it in items]),
+            }
+
+
 class EvalImageDataset:
     """CelebA-HQ-style test split: numeric-sorted, returns image + path."""
 

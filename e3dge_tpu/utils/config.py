@@ -59,6 +59,11 @@ class RendererConfig:
     # EXPERIMENTAL: parity-verified, but on v5e the XLA formulation currently wins
     # (0.22 ms vs 1.84 ms per 98k-point query) — keep False for production.
     fused_inference: bool = False
+    # Rematerialize the SIREN field query in the backward pass: recompute the
+    # [B,H,W,S,width+4] raw field instead of storing it for grad — trades MXU
+    # FLOPs for HBM on memory-bound training steps (the TPU analogue of the
+    # reference's serial 50k-point chunking, volume_renderer.py:1083-1112).
+    remat_field: bool = False
 
 
 @dataclass(frozen=True)
@@ -209,11 +214,13 @@ def demo_view_synthesis_config() -> E3DGEConfig:
 
 
 def stage1_config() -> E3DGEConfig:
-    """scripts/train/ffhq/stage1.sh: E0 with 3D supervision, no local branch."""
+    """scripts/train/ffhq/stage1.sh: E0 with 3D supervision, no local branch.
+    N_samples=18 per the reference recipe (stage1.sh --N_samples 18; also ~7%
+    faster per step than the 24-sample default on v5e)."""
     cfg = default_config()
     return _with(
         cfg,
-        renderer=dict(sample_near_surface=True, sample_uniform_grid=True),
+        renderer=dict(sample_near_surface=True, sample_uniform_grid=True, n_samples=18),
     ).validate()
 
 

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Training-step profiler: times the full-scale stage-1 step and its pieces on the
+current backend (the one real chip under axon), comparing perf variants.
+
+Timing methodology (CLAUDE.md): block_until_ready does not sync through the axon
+relay; every number amortizes N dispatches against one scalar value pull.
+
+Usage: python scripts/profile_train.py [--variants base,remat] [--batch 4] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_fn(fn, sync, n=8, warmup=1):
+    for _ in range(warmup):
+        out = fn()
+    _ = sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _ = sync(out)
+    return (time.perf_counter() - t0) / n * 1000.0  # ms
+
+
+def build(cfg_kwargs, batch):
+    from __graft_entry__ import fast_init
+    from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+    from e3dge_tpu.training.steps import (
+        STAGE1_TRAINABLE,
+        create_train_state,
+        make_optimizer,
+        make_stage1_step,
+    )
+    from e3dge_tpu.utils.config import _with, stage1_config
+
+    cfg = stage1_config()
+    if cfg_kwargs:
+        cfg = _with(cfg, renderer=cfg_kwargs).validate()
+    model = E3DGE(cfg)
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    variables = fast_init(model, {"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(variables, STAGE1_TRAINABLE, tx)
+    lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.2,
+                   shape_surface_lambda=1.0, shape_normal_lambda=1.0, eikonal_lambda=0.1)
+    step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,), donate_argnums=(0,))
+    return cfg, model, variables, ml, state, step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="base,remat")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--pieces", action="store_true", help="also time sample/forward pieces")
+    args = ap.parse_args()
+
+    variant_cfgs = {
+        "base": {},
+        "remat": dict(remat_field=True),
+        "n18": dict(n_samples=18),          # reference stage1.sh trains with 18
+        "remat_n18": dict(remat_field=True, n_samples=18),
+    }
+    for name in args.variants.split(","):
+        cfg, model, variables, ml, state, step = build(variant_cfgs[name], args.batch)
+
+        # pieces FIRST: the full step donates `state`, whose leaves alias `variables`
+        if args.pieces:
+            from e3dge_tpu.models.e3dge import E3DGE
+
+            sample = jax.jit(
+                lambda v, k, bs: model.apply(v, k, bs, 1.0, method=E3DGE.synthetic_sample,
+                                             rngs={"noise": k}),
+                static_argnums=(2,),
+            )
+            ms_s = time_fn(lambda: sample(variables, jax.random.key(1), args.batch)["images"],
+                           lambda x: float(x.sum()), n=args.iters)
+            print(f"[{name}]   synthetic_sample: {ms_s:.1f} ms", flush=True)
+
+            fwd = jax.jit(
+                lambda v, imgs, ml_: model.apply(v, imgs, ml_, method=E3DGE.image2image_global,
+                                                 rngs={"noise": jax.random.key(2)})["gen_imgs"]
+            )
+            imgs = jnp.zeros((args.batch, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+            ms_f = time_fn(lambda: fwd(variables, imgs, ml), lambda x: float(x.sum()), n=args.iters)
+            print(f"[{name}]   image2image_global fwd: {ms_f:.1f} ms", flush=True)
+
+        key = jax.random.key(7)
+        st = state
+
+        def run():
+            nonlocal st, key
+            key, k = jax.random.split(key)
+            st, metrics = step(st, ml, k, args.batch)
+            return metrics["loss"]
+
+        ms = time_fn(run, lambda x: float(x), n=args.iters)
+        print(f"[{name}] stage-1 step batch={args.batch}: {ms:.1f} ms/step "
+              f"({args.batch * 1000 / ms:.1f} img/s/chip)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,38 @@ def test_encoder_variants_restyle_and_e4e():
     np.testing.assert_allclose(np.asarray(thumb0[:, 0]), np.asarray(thumb0[:, 1]), atol=1e-6)
 
 
+def test_shapenet_dataset(tmp_path):
+    """ShapeNet loader parity (reference MultiResolutionDataset_ShapeNet,
+    data/dataset.py:328-377): list-file paths, ../pose/<stem>.txt 4x4 c2w, zeroed
+    rotation/translation before inversion."""
+    import numpy as np
+    from PIL import Image
+
+    from e3dge_tpu.training.data import ShapeNetDataset
+
+    (tmp_path / "renders").mkdir()
+    (tmp_path / "pose").mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(3):
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype("uint8")).save(
+            tmp_path / "renders" / f"v{i}.png"
+        )
+        pose = np.eye(4)
+        pose[:3, 3] = rng.randn(3)
+        np.savetxt(tmp_path / "pose" / f"v{i}.txt", pose)
+        names.append(f"renders/v{i}.png")
+    (tmp_path / "list.txt").write_text("\n".join(names))
+
+    ds = ShapeNetDataset(tmp_path / "list.txt", size=16)
+    assert len(ds) == 3
+    batch = next(ds.iter_batches(2))
+    assert batch["image"].shape == (2, 3, 16, 16)
+    assert batch["poses"].shape == (2, 3, 4)
+    # zero_pose: identity rotation, zero translation (reference behavior)
+    np.testing.assert_allclose(batch["poses"][0], np.eye(4)[:3], atol=1e-6)
+
+
 def test_reference_flag_compat():
     from e3dge_tpu.utils.options_compat import config_from_reference_flags
 

@@ -195,6 +195,77 @@ def test_query_hit_prob_numpy_golden():
     )
 
 
+def test_find_surface_secant_sphere():
+    """Secant march localizes a sphere SDF root to ~1e-5 (reference
+    geometry.render_functions secant method)."""
+    from e3dge_tpu.render.rays import find_surface_secant
+
+    r = 0.5
+
+    def sdf_fn(p):
+        return (jnp.linalg.norm(p, axis=-1, keepdims=True) - r)
+
+    rays_o = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, 2.0], [2.0, 2.0, 2.0]])
+    rays_d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]])
+    z, hit = find_surface_secant(sdf_fn, rays_o, rays_d, 0.5, 3.5, n_coarse=32, n_secant=8)
+    # ray 0 hits the sphere at z = 2 - r; ray 1 (tangential, outside) and
+    # ray 2 (offset) miss
+    assert bool(hit[0]) and not bool(hit[1]) and not bool(hit[2])
+    np.testing.assert_allclose(float(z[0]), 2.0 - r, atol=1e-5)
+    np.testing.assert_allclose(float(z[1]), 3.5)  # miss -> far
+
+
+def test_query_hit_prob_adapted_numpy_golden():
+    """Adapted-interval occlusion query golden (reference volume_renderer.py:
+    1497-1621): per-point linear samples from the near plane to the point; the
+    LAST sample's weight is the hit probability."""
+    cfg = tiny_test_config().renderer
+    rnd = VolumeFeatureRenderer(cfg)
+    cam = _cams(batch=1, res=cfg.out_im_res)
+    styles = 0.1 * jax.random.normal(jax.random.key(1), (1, cfg.style_dim))
+    v = rnd.init(jax.random.key(0), cam, styles)
+
+    rng = np.random.RandomState(4)
+    B, H, W, S = 1, 2, 2, 2
+    wd_pts = rng.uniform(-0.08, 0.08, (B, H, W, S, 3)).astype(np.float32)
+    got = rnd.apply(
+        v, jnp.asarray(wd_pts), cam, styles, method=VolumeFeatureRenderer.query_hit_prob_adapted
+    )
+    assert got.shape == (B, H, W, S, 1)
+
+    S_ray = cfg.n_samples
+    poses = np.asarray(cam.poses)
+    extr = np.asarray(cam.extrinsics)
+    near = float(np.asarray(cam.near).reshape(-1)[0])
+    beta = float(np.asarray(v["params"]["sigmoid_beta"])[0])
+
+    pts = wd_pts.reshape(B, -1, 3).astype(np.float64)
+    o = poses[:, :, 3]
+    p_cam = np.einsum("bij,bnj->bni", extr[:, :, :3], pts) + extr[:, :, 3][:, None]
+    rays_d_wd = np.einsum("bij,bnj->bni", poses[:, :, :3], p_cam / (-p_cam[..., 2:3]))
+    viewdirs = rays_d_wd / np.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
+
+    t = np.linspace(0.0, 1.0, S_ray)
+    near_pts = o[:, None] + rays_d_wd * near
+    q = near_pts[:, :, None] * (1 - t)[None, None, :, None] + pts[:, :, None] * t[None, None, :, None]
+    zv = np.linalg.norm(q - o[:, None, None], axis=-1)
+    dirs = np.broadcast_to(viewdirs[:, :, None], q.shape)
+    raw = np.asarray(
+        rnd.apply(v, jnp.asarray(q, jnp.float32), jnp.asarray(dirs, jnp.float32), styles,
+                  method=VolumeFeatureRenderer.query_raw), np.float64)
+    sdf = raw[..., 3:4]
+    dz = np.diff(zv, axis=-1)
+    dists = np.concatenate([dz, dz[..., :1]], axis=-1)
+    sigma = (1.0 / (1.0 + np.exp(sdf / beta))) / beta
+    alpha = 1.0 - np.exp(-sigma * dists[..., None])
+    trans = np.cumprod(1 - alpha + 1e-10, axis=-2)
+    vis = np.concatenate([np.ones_like(alpha[..., :1, :]), trans[..., :-1, :]], axis=-2)
+    want = (alpha * vis)[..., -1, :]  # last sample's weight
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, -1), want.reshape(B, -1), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_renderer_forward_and_eikonal():
     cfg = tiny_test_config()
     model = VolumeFeatureRenderer(cfg.renderer)
