@@ -181,3 +181,75 @@ class ResidualAligner(nn.Module):
         dfea2 = interpolate_bilinear(dfea2, (res, res), align_corners=False)
         dfea3 = stage(jnp.concatenate([dfea2, feat1], 1), [(16, 1), (3, 1), (3, 1)], "dconv_layer3")
         return dfea3
+
+
+def feature_l2_norm(feature: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Channel-wise L2 normalization (reference FeatureL2Norm,
+    alignment_old.py:65-79; Rocco et al. cnngeometric)."""
+    norm = jnp.sqrt(jnp.sum(feature**2, axis=1, keepdims=True) + eps)
+    return feature / norm
+
+
+def correlation_volume(feature_a: jnp.ndarray, feature_b: jnp.ndarray) -> jnp.ndarray:
+    """Dense correlation volume (reference CorrelationVolume,
+    alignment_old.py:43-63): [B,C,H,W] x [B,C,H,W] -> [B, H*W, H, W] where
+    out[b, qA, i, j] = <feature_A[b,:,col-major qA], feature_B[b,:,i,j]>."""
+    b, c, h, w = feature_a.shape
+    fa = jnp.transpose(feature_a, (0, 1, 3, 2)).reshape(b, c, h * w)   # col-major like the reference
+    fb = jnp.transpose(feature_b.reshape(b, c, h * w), (0, 2, 1))      # [B, HW, C]
+    corr = (fb @ fa).reshape(b, h, w, h * w)
+    return jnp.transpose(corr, (0, 3, 1, 2))
+
+
+class FeatureAligner(nn.Module):
+    """Dense-correspondence ablation aligner (reference FeatureAligner,
+    alignment_old.py:500-612; FeatureAlignerBig :613-722 is the widened variant —
+    neither is used at runtime by the released runners). Encodes
+    cat(residual, downsampled ref feats, depth, query thumb) contexts through a
+    small U-net and returns a 32-ch aligned feature map at input resolution."""
+
+    norm: str = "batch"
+    axis_name: str | None = None
+    context_dim: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        residual_images: jnp.ndarray,            # [B, 3, H, W]
+        que_depth: jnp.ndarray | None = None,    # [B, 1, H, W]
+        ref_feats: jnp.ndarray | None = None,    # [B, C, H, W]
+        que_thumb_images: jnp.ndarray | None = None,  # [B, 3, H, W]
+        train: bool = False,
+    ) -> jnp.ndarray:
+        from e3dge_tpu.models.pifu.local_net import ContextConv
+        from e3dge_tpu.ops import interpolate_bilinear
+
+        d = self.context_dim
+        parts = [ContextConv(d, name="residual_conv")(residual_images)]
+        if ref_feats is not None:
+            parts.append(TorchConv(d, 3, padding=1, use_bias=False, name="downsample_channel_conv")(ref_feats))
+        if que_depth is not None:
+            parts.append(ContextConv(d, name="depth_conv")(que_depth))
+        if que_thumb_images is not None:
+            parts.append(ContextConv(d, name="que_thumb_conv")(que_thumb_images))
+        h = jnp.concatenate(parts, axis=1)
+        res = h.shape[-1]
+
+        feat1 = TorchConv(32, 3, padding=1, use_bias=False, name="conv_layer1_conv")(h)
+        if self.norm == "batch":
+            feat1 = BatchNorm(32, self.axis_name, name="conv_layer1_bn")(feat1, train)
+        feat1 = PReLU(32, name="conv_layer1_prelu")(feat1)
+
+        def stage(x, chans, name):
+            for i, (depth, stride) in enumerate(chans):
+                x = BottleneckIRPlain(depth, stride, self.norm, self.axis_name, name=f"{name}_{i}")(x, train)
+            return x
+
+        feat2 = stage(feat1, [(48, 2), (48, 1), (48, 1)], "conv_layer2")
+        feat3 = stage(feat2, [(64, 2), (64, 1), (64, 1)], "conv_layer3")
+
+        feat3 = interpolate_bilinear(feat3, (res // 2, res // 2), align_corners=False)
+        dfea1 = stage(jnp.concatenate([feat3, feat2], 1), [(64, 1), (32, 1), (32, 1)], "dconv_layer1")
+        dfea1 = interpolate_bilinear(dfea1, (res, res), align_corners=False)
+        dfea2 = stage(jnp.concatenate([dfea1, feat1], 1), [(32, 1), (32, 1)], "dconv_layer2")
+        return dfea2

@@ -163,3 +163,31 @@ class SirenGenerator(nn.Module):
         if self.output_features:
             out = jnp.concatenate([out, features], axis=-1)
         return out
+
+    def forward_ddf(
+        self,
+        pts: jnp.ndarray,
+        views: jnp.ndarray,
+        styles: jnp.ndarray,
+        feat_layer: int = -1,
+        multi_layer: bool = False,
+    ) -> dict[str, jnp.ndarray]:
+        """SirenGeneratorDDF ablation (reference volume_renderer.py:561-632): also
+        return intermediate backbone-layer features — the feat_layer'th layer, all
+        layers >= feat_layer when multi_layer, or the final view features when
+        feat_layer == -1. Returns {'out': [..., 4], 'feats': [..., k*W]}."""
+        h = pts
+        feats = []
+        for i, layer in enumerate(self.pts_linears):
+            h = layer(h, self._style_row(styles, i))
+            if (multi_layer and feat_layer <= i) or (not multi_layer and feat_layer == i):
+                feats.append(h)
+        sdf = self.geo_head(h)
+        rgb, out_features = self.tex_head(h, views, styles)
+        if feat_layer == -1 or multi_layer:
+            feats.append(out_features)
+        return {
+            "out": jnp.concatenate([rgb, sdf], axis=-1),
+            "feats": jnp.concatenate(feats, axis=-1) if feats
+            else jnp.zeros(h.shape[:-1] + (0,), h.dtype),
+        }

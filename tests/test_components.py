@@ -101,6 +101,50 @@ def test_encoder_variants_restyle_and_e4e():
     np.testing.assert_allclose(np.asarray(thumb0[:, 0]), np.asarray(thumb0[:, 1]), atol=1e-6)
 
 
+def test_siren_ddf_and_feature_aligner():
+    """Last ablation components: SirenGeneratorDDF per-layer features
+    (volume_renderer.py:561-632), CorrelationVolume/FeatureL2Norm
+    (alignment_old.py:43-79), FeatureAligner U-net (:500-612)."""
+    import numpy as np
+
+    from e3dge_tpu.models.align import FeatureAligner, correlation_volume, feature_l2_norm
+    from e3dge_tpu.models.siren import SirenGenerator
+
+    net = SirenGenerator(depth=3, width=16, style_dim=8)
+    pts = jax.random.normal(jax.random.key(0), (2, 5, 3))
+    views = jax.random.normal(jax.random.key(1), (2, 5, 3))
+    styles = jax.random.normal(jax.random.key(2), (2, 4, 8)) * 0.1
+    v = net.init(jax.random.key(3), pts, views, styles)
+    out = net.apply(v, pts, views, styles, 1, True, method=SirenGenerator.forward_ddf)
+    assert out["out"].shape == (2, 5, 4)
+    # layers 1,2 plus the view features -> 3 * width
+    assert out["feats"].shape == (2, 5, 3 * 16)
+    # base forward consistency: rgb+sdf identical
+    base = net.apply(v, pts, views, styles)
+    np.testing.assert_allclose(np.asarray(out["out"]), np.asarray(base[..., :4]), rtol=1e-6)
+
+    # correlation volume: out[b, qA(col-major), i, j] = <A[:, qA], B[:, i, j]>
+    fa = jax.random.normal(jax.random.key(4), (1, 4, 3, 3))
+    fb = jax.random.normal(jax.random.key(5), (1, 4, 3, 3))
+    corr = correlation_volume(fa, fb)
+    assert corr.shape == (1, 9, 3, 3)
+    a_cm = np.transpose(np.asarray(fa[0]), (0, 2, 1)).reshape(4, 9)  # col-major
+    want = a_cm[:, 4] @ np.asarray(fb[0, :, 1, 2])  # qA=4 -> (h=1, w=1)... col-major: q=4 -> w=1,h=1
+    np.testing.assert_allclose(float(corr[0, 4, 1, 2]), float(want), rtol=1e-5)
+    n = feature_l2_norm(fa)
+    np.testing.assert_allclose(np.asarray(jnp.sum(n**2, axis=1)), 1.0, rtol=1e-4)
+
+    # FeatureAligner with all four contexts
+    aligner = FeatureAligner(norm="none")
+    res_img = jnp.zeros((1, 3, 16, 16))
+    dep = jnp.zeros((1, 1, 16, 16))
+    reff = jnp.zeros((1, 8, 16, 16))
+    thumb = jnp.zeros((1, 3, 16, 16))
+    va = aligner.init(jax.random.key(6), res_img, dep, reff, thumb)
+    out = aligner.apply(va, res_img, dep, reff, thumb)
+    assert out.shape == (1, 32, 16, 16)
+
+
 def test_shapenet_dataset(tmp_path):
     """ShapeNet loader parity (reference MultiResolutionDataset_ShapeNet,
     data/dataset.py:328-377): list-file paths, ../pose/<stem>.txt 4x4 c2w, zeroed
