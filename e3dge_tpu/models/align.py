@@ -6,6 +6,10 @@
   * ResidualAligner(ADA) — 2D alignment U-net: cat(residual, upsampled thumb) 6ch ->
                            enc 16/32/48/64 bottleneck_IR -> dec with skips -> 3ch
                            aligned residual (reference alignment_old.py:316-398)
+  * FuseSftBlock / ConvResBlock — conv variant of the SFT fusion (sft.py:18-80)
+  * DemodulatedConv2d    — style-free demodulated conv (helpers.py:14-80)
+  * AlignInpainterFusionBlock — visibility-lerp fusion ablation
+                           (alignment_old.py:455-496)
 """
 
 from __future__ import annotations
@@ -253,3 +257,133 @@ class FeatureAligner(nn.Module):
         dfea1 = interpolate_bilinear(dfea1, (res, res), align_corners=False)
         dfea2 = stage(jnp.concatenate([dfea1, feat1], 1), [(32, 1), (32, 1)], "dconv_layer2")
         return dfea2
+
+
+class DemodulatedConv2d(nn.Module):
+    """Style-free demodulated conv (reference helper_modules/helpers.py:14-80,
+    the `--ada_norm_layer demodulate` option of the ADA aligner / DGC ablations).
+
+    Without a per-sample style the demodulation factor is identical for every
+    batch entry, so the reference's batch->groups grouped conv collapses to one
+    shared-weight conv with demod-scaled output channels (MXU-friendly)."""
+
+    out_channel: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from e3dge_tpu.models.layers import conv2d_torch
+
+        in_channel = x.shape[1]
+        weight = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (1, self.out_channel, in_channel, self.kernel_size, self.kernel_size),
+        )
+        demod = jax.lax.rsqrt(jnp.sum(weight**2, axis=(2, 3, 4)) + 1e-8)  # [1, out]
+        w = (weight[0] * demod[0][:, None, None, None]).astype(x.dtype)
+        out = conv2d_torch(x, w, stride=self.stride, padding=self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.normal(stddev=1.0), (self.out_channel,))
+            out = out + b.astype(out.dtype).reshape(1, -1, 1, 1)
+        return out
+
+
+class ConvResBlock(nn.Module):
+    """CodeFormer conv ResBlock: GroupNorm(32) + swish + 3x3 convs + (1x1 shortcut)
+    (reference helper_modules/sft.py:18-54)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[1]
+
+        def norm(h, name):
+            c = h.shape[1]
+            groups = 32 if c % 32 == 0 and c >= 32 else min(4, c)
+            h = jnp.transpose(h, (0, 2, 3, 1))
+            h = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=h.dtype, name=name)(h)
+            return jnp.transpose(h, (0, 3, 1, 2))
+
+        h = norm(x, "norm1")
+        h = h * jax.nn.sigmoid(h)  # swish
+        h = TorchConv(self.out_channels, 3, padding=1, name="conv1")(h)
+        h = norm(h, "norm2")
+        h = h * jax.nn.sigmoid(h)
+        h = TorchConv(self.out_channels, 3, padding=1, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = TorchConv(self.out_channels, 1, name="conv_out")(x)
+        return h + x
+
+
+class FuseSftBlock(nn.Module):
+    """Conv variant of the SFT fusion (reference Fuse_sft_block, sft.py:56-80;
+    unused by the released runners — the MLP variant FuseSftMLP is the live one)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, enc_feat: jnp.ndarray, dec_feat: jnp.ndarray, w: float = 1.0) -> jnp.ndarray:
+        h = ConvResBlock(self.out_ch, name="encode_enc")(jnp.concatenate([enc_feat, dec_feat], axis=1))
+
+        def branch(name):
+            s = TorchConv(self.out_ch, 3, padding=1, name=f"{name}_0")(h)
+            s = jnp.where(s >= 0, s, 0.2 * s)
+            return TorchConv(self.out_ch, 3, padding=1, name=f"{name}_2")(s)
+
+        scale = branch("scale")
+        shift = branch("shift")
+        return dec_feat + w * (dec_feat * scale + shift)
+
+
+class ResidualConvBlock(nn.Module):
+    """norm->relu->reflect-pad conv x2 + shortcut (reference helpers.py:318-397;
+    instance norm = per-channel GroupNorm)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim_in = x.shape[1]
+
+        def inorm(h, name):
+            c = h.shape[1]
+            h = jnp.transpose(h, (0, 2, 3, 1))
+            h = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=h.dtype, name=name)(h)
+            return jnp.transpose(h, (0, 3, 1, 2))
+
+        def reflect_conv(h, name):
+            h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+            return TorchConv(self.dim_out, 3, use_bias=False, name=name)(h)
+
+        h = reflect_conv(jax.nn.relu(inorm(x, "norm1")), "conv1")
+        h = reflect_conv(jax.nn.relu(inorm(h, "norm2")), "conv2")
+        if dim_in != self.dim_out:
+            x = TorchConv(self.dim_out, 1, use_bias=False, name="short_cut")(x)
+        return h + x
+
+
+class AlignInpainterFusionBlock(nn.Module):
+    """Visibility-mask lerp of 3D-projected vs inpainted 2D features + residual
+    block (reference alignment_old.py:455-496; fusion ablation).
+
+    proj_3dfeats / inpainted_2dfeats: [B, C, H, W]; visibility_mask broadcastable.
+    reshape=True returns [B, H, W, 1, C] like the reference permute/unsqueeze."""
+
+    @nn.compact
+    def __call__(
+        self,
+        proj_3dfeats: jnp.ndarray,
+        inpainted_2dfeats: jnp.ndarray,
+        visibility_mask: jnp.ndarray,
+        reshape: bool = True,
+    ) -> jnp.ndarray:
+        fused = visibility_mask * proj_3dfeats + (1.0 - visibility_mask) * inpainted_2dfeats
+        fused = ResidualConvBlock(proj_3dfeats.shape[1], name="fusionBlock")(fused)
+        if reshape:
+            fused = jnp.transpose(fused, (0, 2, 3, 1))[:, :, :, None, :]
+        return fused

@@ -300,6 +300,66 @@ class Runner:
             meshes.append((verts, faces))
         return meshes
 
+    def render_depth_mesh(
+        self,
+        images: np.ndarray | None = None,
+        ref_info: dict | None = None,
+        trajectory_location: Sequence[float] | None = None,
+        image_size: int = 512,
+        filter_out_bg: bool = True,
+    ) -> np.ndarray:
+        """Phong-shaded depth-geometry frames [B, H, W] in [0, 1] (reference
+        render_depth_mesh, trainer.py:2251-2346): Delaunay depth mesh from the
+        surface xyz map, shaded with the reference's light rig (point light (0,0,5),
+        ambient 0.1 / diffuse 0.65 / specular 0.2 gray material) and z-buffer
+        rasterized by the native C++ rasterizer — replacing the pytorch3d renderer.
+        Background (thumb > 0.98, blurred) is composited to 0.5 ambient gray."""
+        if ref_info is None:
+            ref_info = self.encode_ref(np.asarray(images))
+        gro = ref_info["global_render_out"]
+        xyz = np.asarray(gro["xyz"])  # [B, H, W, 3]
+        b = xyz.shape[0]
+        if trajectory_location is None:
+            viewpoints = np.asarray(ref_info["cam_settings"].viewpoint, np.float32)
+        else:
+            viewpoints = np.broadcast_to(
+                np.asarray(trajectory_location, np.float32).reshape(1, 2), (b, 2)
+            )
+        if filter_out_bg:
+            thumbs = np.asarray(gro["gen_thumb_imgs"])  # [B, 3, h, w] in [-1, 1]
+            bg = (thumbs > 0.98).astype(np.float32).mean(axis=1)  # [B, h, w]
+        frames = []
+        for i in range(b):
+            verts, faces = mesh_utils.xyz2mesh(xyz[i])
+            normals = mesh_utils.vertex_normals(verts, faces)
+            azim, elev = float(viewpoints[i, 0]), float(viewpoints[i, 1])
+            cam_origin = np.array(
+                [np.cos(elev) * np.sin(azim), np.sin(elev), np.cos(elev) * np.cos(azim)],
+                np.float32,
+            )  # dist=1 camera (render/camera.py:60-62)
+            intensity = mesh_utils.phong_vertex_intensity(verts, normals, cam_origin)
+            cam = camera_params_from_angles(
+                jnp.asarray([azim]), jnp.asarray([elev]), image_size,
+                self.cfg.camera.fov_ang, self.cfg.camera.dist_radius,
+            )
+            screen = mesh_utils.project_to_screen(
+                verts, np.asarray(cam.calibs[0]), image_size, image_size
+            )
+            color, dep = mesh_utils.rasterize(screen, faces, intensity, image_size, image_size)
+            frame = np.where(dep > 0, color, 0.5)
+            if filter_out_bg:
+                # nearest-resize the thumb bg mask to image_size, box-blur it, and
+                # composite to the 0.5 ambient gray (trainer.py:2281-2288, 2337-2341)
+                idx = (np.arange(image_size) * bg.shape[-1] // image_size)
+                mask = bg[i][np.ix_(idx, idx)]
+                k = max(image_size // 64, 1)
+                kern = np.ones(k) / k
+                mask = np.apply_along_axis(lambda r: np.convolve(r, kern, mode="same"), 1, mask)
+                mask = np.apply_along_axis(lambda c: np.convolve(c, kern, mode="same"), 0, mask)
+                frame = frame * (1.0 - mask) + mask * 0.5
+            frames.append(frame.astype(np.float32))
+        return np.stack(frames, axis=0)
+
     def evaluate3d(
         self,
         now_folder: str | Path,

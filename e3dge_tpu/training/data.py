@@ -48,25 +48,59 @@ def load_image(path: str | Path, size: int) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
-class ImageFolderDataset:
-    """Training dataset: returns (full-res, 64-thumb) pairs with random hflip."""
+def landmark_heatmaps(lms: np.ndarray, resolution: int, sigma: float = 2.0) -> np.ndarray:
+    """[N, 2] pixel-space landmarks -> [N, res, res] gaussian heatmaps.
 
-    def __init__(self, root: str | Path, size: int = 256, thumb_size: int = 64, hflip: bool = True):
+    Working version of the reference's MultiResolutionDatasetLMS landmark branch
+    (data/dataset.py:117-123 calls an undefined `heatmap_generator` behind
+    `--lms_lambda`; the intended HRNet-style gaussians are supplied here).
+    Landmarks with any coordinate outside the image give an all-zero map."""
+    ys, xs = np.mgrid[0:resolution, 0:resolution].astype(np.float32)
+    maps = np.zeros((len(lms), resolution, resolution), np.float32)
+    for i, (x, y) in enumerate(np.asarray(lms, np.float32)):
+        if 0 <= x < resolution and 0 <= y < resolution:
+            maps[i] = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2.0 * sigma**2))
+    return maps
+
+
+class ImageFolderDataset:
+    """Training dataset: returns (full-res, 64-thumb) pairs with random hflip.
+
+    `lms_root` (reference `--lms_path` + MultiResolutionDatasetLMS) points at a
+    directory of per-image `<stem>.npy` [N, 2] pixel landmarks; batches then also
+    carry `lms` gaussian heatmaps, hflipped together with the image."""
+
+    def __init__(
+        self,
+        root: str | Path,
+        size: int = 256,
+        thumb_size: int = 64,
+        hflip: bool = True,
+        lms_root: str | Path | None = None,
+    ):
         self.paths = _list_images(root)
         self.size = size
         self.thumb_size = thumb_size
         self.hflip = hflip
+        self.lms_root = Path(lms_root) if lms_root is not None else None
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         img = load_image(self.paths[i], self.size)
+        out: dict[str, np.ndarray] = {}
+        if self.lms_root is not None:
+            lms = np.load(self.lms_root / (self.paths[i].stem + ".npy"))
+            out["lms"] = landmark_heatmaps(lms, self.size)
         if self.hflip and np.random.rand() < 0.5:
             img = img[:, :, ::-1].copy()
+            if "lms" in out:  # flip heatmaps with the image (dataset.py:129-130)
+                out["lms"] = out["lms"][:, :, ::-1].copy()
         f = self.size // self.thumb_size
         thumb = img.reshape(3, self.thumb_size, f, self.thumb_size, f).mean((2, 4))
-        return {"image": img, "thumb": thumb}
+        out.update({"image": img, "thumb": thumb})
+        return out
 
     def iter_batches(self, batch_size: int, shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
         rng = np.random.RandomState(seed)

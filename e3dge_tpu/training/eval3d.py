@@ -236,3 +236,11 @@ def now_scan_error(
         if len(scan) == 0:
             scan = np.asarray(scan_points, np.float64)
     return scan_to_mesh_distance(scan.astype(np.float32), aligned.astype(np.float32), pred_faces)
+
+
+def landmark_98_to_7(landmark_98: np.ndarray) -> np.ndarray:
+    """98-point detector landmarks -> the 7 NoW-evaluation landmarks (reference
+    utils/misc_utils.py:297-319): eye corners (60/64/68/72), nose tip (57),
+    mouth corners (76/92)."""
+    idx = [60, 64, 68, 72, 57, 76, 92]
+    return np.asarray(landmark_98, np.float32)[idx]

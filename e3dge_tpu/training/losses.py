@@ -127,6 +127,29 @@ def depth_consistency_loss(depth_pred, depth_gt, beta: float = 0.05):
     return smooth_l1(depth_pred, jax.lax.stop_gradient(depth_gt), beta=beta)
 
 
+def calculate_adaptive_weight(recon_grads, g_grads, disc_weight_max: float = 1.0):
+    """VQGAN-style adaptive discriminator weight (reference gan_loss.py:69-80,
+    applied at trainer.py:1249-1262 behind --adaptive_D_loss).
+
+    The caller supplies gradients of the reconstruction loss and the generator-
+    adversarial loss w.r.t. the same probe parameters (the reference uses the
+    netLocal hourglass last conv weight; jax.vjp replaces torch.autograd.grad).
+    Accepts arbitrary pytrees; uses the global L2 norm. Returns
+    stop_gradient(clip(|g_rec| / (|g_adv| + 1e-4), 0, max))."""
+
+    def gnorm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+
+    w = gnorm(recon_grads) / (gnorm(g_grads) + 1e-4)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, disc_weight_max))
+
+
+def adopt_weight(weight, global_step, threshold: int = 0, value: float = 0.0):
+    """Zero a loss weight until `threshold` steps (reference gan_loss.py:83-86)."""
+    return jnp.where(jnp.asarray(global_step) < threshold, value, weight)
+
+
 def path_lengths_from_grads(latent_grads, mean_path_length, decay: float = 0.01):
     """StyleGAN2 path-length regularization (reference gan_loss.py path_regularize).
 

@@ -174,6 +174,21 @@ def swap_tree(tree):
     return jax.tree.map(_swap_odd_even, tree)
 
 
+def _get_path(tree: dict, path: Sequence[str]):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set_path(tree: dict, path: Sequence[str], value):
+    """Functionally replace the subtree at `path` in a nested dict."""
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _set_path(tree[path[0]], path[1:], value)
+    return out
+
+
 # --------------------------------------------------------------------- stage 1
 
 
@@ -288,6 +303,9 @@ def make_cycle_step(
     use_ref_view_weight: bool = False,
     d_apply: Callable | None = None,
     ema_decay: float = 0.5 ** (32 / 10_000),
+    adaptive_d_loss: bool = False,
+    adaptive_probe_path: Sequence[str] = ("local",),
+    disc_weight_max: float = 1.0,
 ):
     """Stage-2 cycle training: id-paired views, odd/even swap, cross-view
     reconstruction through the E1 local branch (e3dge_2dalignonly_runner.py:354-465).
@@ -309,12 +327,22 @@ def make_cycle_step(
       * pose_scale_schedule is the progressive pose curriculum (see
         pose_curriculum());
       * when TrainState.ema is set, the trainable subtree is EMA-accumulated
-        (reference utils/training_utils.py:40).
+        (reference utils/training_utils.py:40);
+      * adaptive_d_loss scales the adversarial term by the VQGAN adaptive weight
+        |grad(recon)| / |grad(adv)| measured at `adaptive_probe_path` in the
+        trainable tree (reference trainer.py:1249-1262 probes the netLocal
+        hourglass last conv; one extra forward + two narrow vjp pulls per step).
     """
     cst = constrain_fn or (lambda name, x: x)
 
     def loss_fn(
-        trainable, state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int, d_params
+        trainable,
+        state: TrainState,
+        mean_latents: LatentMeans,
+        rng: jax.Array,
+        bs: int,
+        d_params,
+        d_weight=1.0,
     ):
         variables = {"params": {**state.frozen, **trainable}, **state.extra}
         k_data, k_noise = jax.random.split(rng)
@@ -371,7 +399,7 @@ def make_cycle_step(
         if d_apply is not None and lambdas.get("adv_lambda", 0.0) > 0:
             fake_pred = d_apply(d_params, rec_256)
             adv = L.g_nonsaturating_loss(fake_pred)
-            loss = loss + lambdas["adv_lambda"] * adv
+            loss = loss + lambdas["adv_lambda"] * d_weight * adv
             m2d["loss_e_adv"] = adv
 
         if lambdas.get("supervise_both_gen_imgs", 1.0) > 0:
@@ -410,9 +438,28 @@ def make_cycle_step(
     def train_step(
         state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int, d_params=None
     ):
+        d_weight = jnp.asarray(1.0)
+        if adaptive_d_loss and d_apply is not None and lambdas.get("adv_lambda", 0.0) > 0:
+            # VQGAN adaptive weight: grads of (recon, adv) w.r.t. the probe subtree
+            # only — one forward (jax.vjp) + two cotangent pulls, mirroring the
+            # reference's two retain_graph autograd.grad calls (trainer.py:1258).
+            probe_leaf = _get_path(state.params, adaptive_probe_path)
+
+            def probe(leaf):
+                t2 = _set_path(state.params, adaptive_probe_path, leaf)
+                _, m = loss_fn(t2, state, mean_latents, rng, bs, d_params, 1.0)
+                return m["loss_2d"], m["loss_e_adv"]
+
+            _, vjp_fn = jax.vjp(probe, probe_leaf)
+            (g_recon,) = vjp_fn((jnp.asarray(1.0), jnp.asarray(0.0)))
+            (g_adv,) = vjp_fn((jnp.asarray(0.0), jnp.asarray(1.0)))
+            d_weight = L.calculate_adaptive_weight(g_recon, g_adv, disc_weight_max)
+
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, mean_latents, rng, bs, d_params
+            state.params, state, mean_latents, rng, bs, d_params, d_weight
         )
+        if adaptive_d_loss and d_apply is not None and lambdas.get("adv_lambda", 0.0) > 0:
+            metrics["d_weight"] = d_weight
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema

@@ -11,6 +11,27 @@ import time
 from pathlib import Path
 
 import jax
+import numpy as np
+
+
+def print_parameter(params: dict, title: str = "trainable", out=print) -> int:
+    """Trainable-parameter audit at train start (reference print_parameter,
+    utils/misc_utils.py:225-228 + trainer.py:753-757): list every trainable leaf
+    with its shape, plus per-top-level-key and total counts. `params` is the
+    trainable param subtree (TrainState.params). Returns the total count."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    per_key: dict[str, int] = {}
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        per_key[name.split("/")[0]] = per_key.get(name.split("/")[0], 0) + n
+        out(f"{name} {tuple(leaf.shape)}")
+    for key, n in sorted(per_key.items()):
+        out(f"[{title}] {key}: {n:,} params")
+    out(f"[{title}] total: {total:,} params")
+    return total
 
 
 class MetricLogger:

@@ -234,6 +234,19 @@ def rasterize(verts_screen: np.ndarray, faces: np.ndarray, vertex_color: np.ndar
     return out_color, out_depth
 
 
+def project_to_screen(verts: np.ndarray, calibs: np.ndarray, height: int, width: int) -> np.ndarray:
+    """World-space verts [V, 3] -> screen verts [V, 3] (x_pix, y_pix, depth) through
+    a uv-space calib [4, 4], with the grid-convention y-flip (HGPIFuGANNet.py:114-115)."""
+    homo = calibs[:3, :3] @ verts.T + calibs[:3, 3:4]  # [3, V]
+    depth = -homo[2]
+    safe = np.where(np.abs(depth) < 1e-8, 1e-8, depth)
+    u = homo[0] / safe
+    v = -homo[1] / safe
+    x_pix = (u + 1.0) * 0.5 * width
+    y_pix = (v + 1.0) * 0.5 * height
+    return np.stack([x_pix, y_pix, depth], axis=-1).astype(np.float32)
+
+
 def project_noise(
     noise: np.ndarray,          # [1, 1, H, W] current noise buffer
     verts: np.ndarray,          # [V, 3] world-space mesh verts
@@ -249,18 +262,46 @@ def project_noise(
     _, _, h, w = noise.shape
     if vert_noise is None:
         vert_noise = np.random.RandomState(0).randn(len(verts)).astype(np.float32)
-    # world -> uv via calib, then uv -> pixels with the y-flip (grid convention)
-    homo = calibs[:3, :3] @ verts.T + calibs[:3, 3:4]  # [3, V]
-    depth = -homo[2]
-    u = homo[0] / np.where(np.abs(depth) < 1e-8, 1e-8, depth)
-    v = -homo[1] / np.where(np.abs(depth) < 1e-8, 1e-8, depth)
-    x_pix = (u + 1.0) * 0.5 * w
-    y_pix = (v + 1.0) * 0.5 * h
-    screen = np.stack([x_pix, y_pix, depth], axis=-1).astype(np.float32)
+    screen = project_to_screen(verts, calibs, h, w)
     color, dep = rasterize(screen, faces, vert_noise, h, w)
     base = prev_noise if prev_noise is not None else noise
     out = np.where(dep[None, None] > 0, color[None, None], base)
     return out.astype(np.float32), vert_noise
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals [V, 3] (replaces trimesh vertex_normals
+    used by the reference's Meshes construction, trainer.py:2295-2310)."""
+    n = np.zeros_like(verts, dtype=np.float64)
+    tri = verts[faces]  # [F, 3, 3]
+    face_n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    for i in range(3):
+        np.add.at(n, faces[:, i], face_n)
+    return (n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)).astype(np.float32)
+
+
+def phong_vertex_intensity(
+    verts: np.ndarray,
+    normals: np.ndarray,
+    cam_origin: np.ndarray,
+    light_pos=(0.0, 0.0, 5.0),
+    ambient: float = 0.1,
+    diffuse: float = 0.65,
+    specular: float = 0.2,
+    shininess: float = 64.0,
+) -> np.ndarray:
+    """Per-vertex gray Phong intensity in [0, 1]. Lighting constants match the
+    reference's create_mesh_renderer call (trainer.py:2320-2330: point light at
+    (0, 0, 5), ambient 0.1, diffuse 0.65, specular 0.2; pytorch3d default
+    shininess 64). Gray because the reference uses a textureless gray material."""
+    l = np.asarray(light_pos, np.float32) - verts
+    l = l / np.maximum(np.linalg.norm(l, axis=1, keepdims=True), 1e-12)
+    v = np.asarray(cam_origin, np.float32) - verts
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    ndl = np.clip(np.sum(normals * l, axis=1), 0.0, None)
+    r = 2.0 * ndl[:, None] * normals - l  # reflection of the light about the normal
+    rdv = np.clip(np.sum(r * v, axis=1), 0.0, None)
+    return np.clip(ambient + diffuse * ndl + specular * rdv**shininess, 0.0, 1.0).astype(np.float32)
 
 
 def save_obj(path: str | os.PathLike, verts: np.ndarray, faces: np.ndarray) -> None:

@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--data", default=None, help="real-image dir (D reals for stage 2.2 adv)")
     # stage-2.2 switches (reference stage2.2.sh)
     ap.add_argument("--adv-lambda", type=float, default=0.0)
+    ap.add_argument("--adaptive-d-loss", action="store_true",
+                    help="VQGAN adaptive adversarial weight (reference --adaptive_D_loss)")
     ap.add_argument("--discriminator-lambda", type=float, default=None)
     ap.add_argument("--r1", type=float, default=60.0)
     ap.add_argument("--d-interval", type=int, default=1, help="train D every N iters")
@@ -61,6 +63,9 @@ def main():
     ap.add_argument("--depth-lambda", type=float, default=0.0)
     ap.add_argument("--res-lambda", type=float, default=1.0)
     ap.add_argument("--tiny", action="store_true", help="tiny config (CI smoke)")
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="conv-stack compute dtype (bfloat16 halves HBM traffic on "
+                         "the decoder/encoder/hourglass pyramids; params stay f32)")
     args = ap.parse_args()
 
     from e3dge_tpu.models.discriminator import Discriminator
@@ -86,6 +91,10 @@ def main():
         cfg = C.tiny_full_config() if args.stage != "1" else C.tiny_test_config()
     else:
         cfg = C.stage1_config() if args.stage == "1" else C.stage2_config()
+    if args.dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=args.dtype)
 
     model = E3DGE(cfg)
     imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
@@ -107,6 +116,9 @@ def main():
         "2.2": stage22_trainable(args.fix_ada),
     }[args.stage]
     state = create_train_state(variables, trainable, tx, ema=args.ema)
+    from e3dge_tpu.utils.logger import print_parameter
+
+    print_parameter(state.params)  # trainable audit (reference trainer.py:753-757)
     lambdas = dict(
         l2_lambda=1.0,
         latent_gt_lambda=1.0 if args.stage == "1" else 0.0,
@@ -175,6 +187,7 @@ def main():
             pose_scale_schedule=schedule,
             use_ref_view_weight=args.use_ref_view_weight,
             d_apply=d_apply if enable_adv else None,
+            adaptive_d_loss=args.adaptive_d_loss,
         )
     jstep = jax.jit(step, static_argnums=(3,))
 

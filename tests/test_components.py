@@ -217,3 +217,47 @@ def test_volume_style_encoder_and_panels(tmp_path):
     assert g.size == (16, 8)
     p = Image.open(tmp_path / "panel.png")
     assert p.size == (16, 16)  # 2 cols side-by-side, 2 rows stacked
+
+
+def test_fusion_ablation_blocks():
+    """Conv SFT block, demodulated conv, and the inpainter fusion ablation
+    (reference sft.py:18-80, helpers.py:14-80, alignment_old.py:455-496)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from e3dge_tpu.models.align import (
+        AlignInpainterFusionBlock,
+        ConvResBlock,
+        DemodulatedConv2d,
+        FuseSftBlock,
+    )
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
+
+    conv = DemodulatedConv2d(6, 3, padding=1)
+    v = conv.init(jax.random.key(1), x)
+    out = conv.apply(v, x)
+    assert out.shape == (2, 6, 8, 8)
+    # demodulation: per-output-channel weight norms are 1 -> bounded outputs
+    w = v["params"]["weight"]
+    demod_w = w[0] * jax.lax.rsqrt(jnp.sum(w**2, axis=(2, 3, 4)) + 1e-8)[0][:, None, None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(demod_w**2, axis=(1, 2, 3))), 1.0, rtol=1e-4
+    )
+
+    rb = ConvResBlock(8)
+    v = rb.init(jax.random.key(2), x)
+    assert rb.apply(v, x).shape == x.shape
+
+    sft = FuseSftBlock(out_ch=8)
+    v = sft.init(jax.random.key(3), x, x)
+    assert sft.apply(v, x, x, w=0.5).shape == x.shape
+
+    fuse = AlignInpainterFusionBlock()
+    mask = jnp.ones((2, 1, 8, 8))
+    v = fuse.init(jax.random.key(4), x, x, mask)
+    out = fuse.apply(v, x, x, mask)
+    assert out.shape == (2, 8, 8, 1, 8)  # B H W 1 C reshape
+    out_flat = fuse.apply(v, x, x, mask, reshape=False)
+    assert out_flat.shape == x.shape

@@ -122,3 +122,16 @@ def test_project_noise():
     assert not np.allclose(out[0, 0, 28:36, 28:36], noise[0, 0, 28:36, 28:36])
     # far corners uncovered -> original noise kept
     np.testing.assert_allclose(out[0, 0, :4, :4], noise[0, 0, :4, :4])
+
+
+def test_landmark_98_to_7():
+    import numpy as np
+
+    from e3dge_tpu.training.eval3d import landmark_98_to_7
+
+    lms = np.arange(98 * 2, dtype=np.float32).reshape(98, 2)
+    out = landmark_98_to_7(lms)
+    assert out.shape == (7, 2)
+    np.testing.assert_array_equal(out[0], lms[60])
+    np.testing.assert_array_equal(out[4], lms[57])
+    np.testing.assert_array_equal(out[6], lms[92])

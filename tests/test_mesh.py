@@ -84,3 +84,34 @@ def test_align_volume_shapes():
     assert out.shape == (1, 8, 8, 6, 1)
     # constant volume stays constant in the interior
     assert np.allclose(np.asarray(out)[0, 2:-2, 2:-2, 1:-1, 0], 1.0, atol=1e-4)
+
+
+def test_vertex_normals_and_phong():
+    """Sphere-ish quad: normals unit-length, outward; Phong intensity bounded and
+    brighter for a face turned toward the light."""
+    from e3dge_tpu.utils.mesh import phong_vertex_intensity, vertex_normals
+
+    # single triangle in the z=0 plane, CCW seen from +z -> normal +z
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    n = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(n, np.tile([[0, 0, 1.0]], (3, 1)), atol=1e-6)
+
+    cam = np.array([0, 0, 1.0], np.float32)
+    lit = phong_vertex_intensity(verts, n, cam)  # light at (0,0,5): facing it
+    unlit = phong_vertex_intensity(verts, -n, cam)  # facing away -> ambient only
+    assert np.all(lit > unlit)
+    np.testing.assert_allclose(unlit, 0.1, atol=1e-6)  # ambient term
+    assert np.all((lit >= 0) & (lit <= 1))
+
+
+def test_project_to_screen_center():
+    """A vertex on the optical axis in front of the camera lands mid-image."""
+    from e3dge_tpu.utils.mesh import project_to_screen
+
+    # identity calib: camera at origin looking down -z (depth = -z)
+    calib = np.eye(4, dtype=np.float32)
+    screen = project_to_screen(np.array([[0, 0, -1.0]], np.float32), calib, 64, 64)
+    np.testing.assert_allclose(screen[0, :2], [32.0, 32.0], atol=1e-5)
+    assert screen[0, 2] > 0

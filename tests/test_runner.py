@@ -104,3 +104,13 @@ def test_evaluate3d_now(runner, tmp_path):
     assert out["num_meshes"] == 2
     objs = list((tmp_path / "meshes" / "subj1").glob("*.obj"))
     assert len(objs) == 2
+
+
+def test_render_depth_mesh(runner):
+    """Phong depth-mesh frames (reference render_depth_mesh, trainer.py:2251-2346):
+    shaded grayscale in [0, 1] at the requested resolution."""
+    imgs = np.random.randn(2, 3, runner.cfg.pifu.load_size, runner.cfg.pifu.load_size).astype(np.float32)
+    frames = runner.render_depth_mesh(images=imgs, image_size=64)
+    assert frames.shape == (2, 64, 64)
+    assert np.isfinite(frames).all()
+    assert frames.min() >= 0.0 and frames.max() <= 1.0

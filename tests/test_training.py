@@ -40,6 +40,42 @@ def test_losses_basics():
     np.testing.assert_allclose(float(eik), 0.0, atol=1e-6)
 
 
+def test_adaptive_weight_and_adopt():
+    """calculate_adaptive_weight = |g_rec| / (|g_adv| + 1e-4) clipped (reference
+    gan_loss.py:69-86)."""
+    g_rec = {"w": jnp.full((4,), 3.0)}  # norm 6
+    g_adv = {"w": jnp.full((4,), 6.0)}  # norm 12
+    w = L.calculate_adaptive_weight(g_rec, g_adv, disc_weight_max=1.0)
+    np.testing.assert_allclose(float(w), 6.0 / (12.0 + 1e-4), rtol=1e-5)
+    # clipping
+    w2 = L.calculate_adaptive_weight(g_adv, g_rec, disc_weight_max=1.0)
+    assert float(w2) == 1.0
+    # adopt_weight zeroes before the threshold
+    assert float(L.adopt_weight(0.7, 5, threshold=10)) == 0.0
+    np.testing.assert_allclose(float(L.adopt_weight(0.7, 15, threshold=10)), 0.7, rtol=1e-6)
+
+
+def test_print_parameter(capsys):
+    from e3dge_tpu.utils.logger import print_parameter
+
+    params = {"enc": {"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))}, "head": {"w": jnp.zeros((5,))}}
+    total = print_parameter(params)
+    assert total == 6 + 3 + 5
+    out = capsys.readouterr().out
+    assert "enc/w (2, 3)" in out and "total: 14" in out
+
+
+def test_landmark_heatmaps():
+    from e3dge_tpu.training.data import landmark_heatmaps
+
+    maps = landmark_heatmaps(np.array([[4.0, 2.0], [-1.0, 0.0]]), resolution=8, sigma=1.0)
+    assert maps.shape == (2, 8, 8)
+    # peak of 1.0 at the (y=2, x=4) pixel
+    assert maps[0].max() == 1.0 and maps[0][2, 4] == 1.0
+    # out-of-image landmark -> zero map
+    assert maps[1].max() == 0.0
+
+
 def test_swap_tree():
     x = jnp.arange(4)
     np.testing.assert_array_equal(np.asarray(swap_tree(x)), [1, 0, 3, 2])
@@ -184,8 +220,9 @@ def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
 
 
 def test_cycle_step_adv_ema_refweight(tiny_full_setup):
-    """Stage-2.2 switches in one pass: adversarial term (d_apply + adv_lambda), EMA
-    accumulation, occlusion re-integration weighting, consistency lambdas."""
+    """Stage-2.2 switches in one pass: adversarial term (d_apply + adv_lambda) with
+    the VQGAN adaptive D weight, EMA accumulation, occlusion re-integration
+    weighting, consistency lambdas."""
     from e3dge_tpu.models.discriminator import Discriminator
     from e3dge_tpu.models.e3dge import adaptive_avg_pool
 
@@ -205,12 +242,17 @@ def test_cycle_step_adv_ema_refweight(tiny_full_setup):
         hit_prob_consistency_lambda=0.1, depth_lambda=0.1,
     )
     step = jax.jit(
-        make_cycle_step(model, lambdas, tx, use_ref_view_weight=True, d_apply=d_apply),
+        make_cycle_step(
+            model, lambdas, tx, use_ref_view_weight=True, d_apply=d_apply,
+            adaptive_d_loss=True, adaptive_probe_path=("local",),
+        ),
         static_argnums=(3,),
     )
     state2, metrics = step(state, ml, jax.random.key(5), 2, d_vars["params"])
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_e_adv" in metrics and np.isfinite(float(metrics["loss_e_adv"]))
+    # adaptive weight recorded, clipped to [0, disc_weight_max]
+    assert 0.0 <= float(metrics["d_weight"]) <= 1.0
     assert "hit_prob_consistency" in metrics
     assert "depth_consistency" in metrics
     # EMA present, updated, and finite — between old params and new params
