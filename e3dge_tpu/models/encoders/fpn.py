@@ -57,7 +57,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         a = self.param("alpha", nn.initializers.constant(0.25), (self.channels,))
-        a = a.reshape((1, -1) + (1,) * (x.ndim - 2))
+        a = a.astype(x.dtype).reshape((1, -1) + (1,) * (x.ndim - 2))
         return jnp.where(x >= 0, x, a * x)
 
 
@@ -79,6 +79,7 @@ class TorchConv(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             use_bias=self.use_bias,
+            dtype=x.dtype,  # compute in the input dtype (f32 params cast at use)
             name="conv",
         )(x)
         return jnp.transpose(x, (0, 3, 1, 2))
@@ -98,6 +99,7 @@ class BatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=x.dtype,  # output dtype; statistics are still computed in f32
             name="bn",
         )(x)
         return jnp.transpose(x, (0, 3, 1, 2))

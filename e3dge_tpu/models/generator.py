@@ -83,6 +83,7 @@ class Generator(nn.Module):
         noise: Sequence | None = None,
         z_vals: jnp.ndarray | None = None,
         no_force_stop: bool = False,
+        return_raw_h: bool = False,
     ) -> dict[str, Any]:
         """E3DGE generator forward (G_pred_latents.forward, stylesdf_model.py:1034-1172).
 
@@ -114,16 +115,35 @@ class Generator(nn.Module):
             train=train,
             z_vals=z_vals,
             no_force_stop=no_force_stop,
+            return_raw_h=return_raw_h,
         )
         render_out["styles"] = encoder_latent
         if renderer_only or not self.full_pipeline:
             render_out["gen_imgs"] = None
             return render_out
+        return self._decode_into(
+            render_out, encoder_latent, decoder_latent, truncation, truncation_latent,
+            input_is_latent, noise, conditions,
+        )
 
+    def _decode_into(
+        self,
+        render_out: dict[str, Any],
+        encoder_latent: jnp.ndarray,
+        decoder_latent: jnp.ndarray | None,
+        truncation: float = 1.0,
+        truncation_latent: tuple | None = None,
+        input_is_latent: bool = True,
+        noise: Sequence | None = None,
+        conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    ) -> dict[str, Any]:
         dec_styles = [encoder_latent] if decoder_latent is None else [decoder_latent]
         dec_trunc = truncation_latent[1] if (truncation < 1.0 and truncation_latent is not None) else None
+        # decoder pyramid runs in the configured compute dtype (layers follow the
+        # input dtype); renderer features are the only activation carrier to cast
+        dec_in = render_out["features"].astype(jnp.dtype(self.cfg.dtype))
         gen_imgs, out_latent = self.decoder(
-            render_out["features"],
+            dec_in,
             dec_styles,
             truncation=truncation,
             truncation_latent=dec_trunc,
@@ -132,9 +152,28 @@ class Generator(nn.Module):
             conditions=conditions,
             return_latents=True,
         )
-        render_out["gen_imgs"] = gen_imgs
+        render_out["gen_imgs"] = gen_imgs.astype(jnp.float32)
         render_out["decoder_latent"] = out_latent
         return render_out
+
+    def render_cached(
+        self,
+        styles: Sequence[jnp.ndarray],
+        cached: dict[str, Any],
+        local_conditions: tuple[jnp.ndarray, jnp.ndarray] | None,
+        conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        noise: Sequence | None = None,
+    ) -> dict[str, Any]:
+        """Same-view conditioned re-render reusing the cached SIREN backbone
+        (VolumeFeatureRenderer.render_from_backbone) + decoder. styles = W+ pair."""
+        encoder_latent = styles[0]
+        decoder_latent = styles[1] if len(styles) > 1 else None
+        render_out = self.renderer.render_from_backbone(cached, encoder_latent, local_conditions)
+        render_out["styles"] = encoder_latent
+        if not self.full_pipeline:
+            render_out["gen_imgs"] = None
+            return render_out
+        return self._decode_into(render_out, encoder_latent, decoder_latent, noise=noise, conditions=conditions)
 
     # -- aux passes used by runners ---------------------------------------------
 

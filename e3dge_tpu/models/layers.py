@@ -10,6 +10,11 @@ TPU-first departures from the reference:
     output-scale formulation: one large batched conv on the MXU, no grouped conv.
   * upfirdn2d resampling lowers to a single dilated XLA conv (see ops/upfirdn2d.py).
   * fused bias+lrelu is a plain expression XLA fuses (see ops/fused_act.py).
+  * mixed precision: every layer computes in its INPUT dtype (params are f32
+    masters cast at use; demodulation statistics stay f32). Casting activations to
+    bfloat16 at a pipeline boundary (config `dtype`, consumed in generator.py /
+    e3dge.py) therefore switches whole submodules to bf16 — halving HBM traffic on
+    the 1024^2 conv pyramid — while f32 inputs reproduce the old numerics exactly.
 """
 
 from __future__ import annotations
@@ -94,13 +99,14 @@ class EqualLinear(nn.Module):
             (self.out_dim, in_dim),
         )
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
-        out = x @ (weight * scale).T
+        out = x @ (weight * scale).astype(x.dtype).T
         if self.bias:
             b = self.param("bias", nn.initializers.constant(self.bias_init), (self.out_dim,))
+            b = (b * self.lr_mul).astype(x.dtype)
             if self.activation:
-                out = fused_leaky_relu(out, b * self.lr_mul)
+                out = fused_leaky_relu(out, b)
             else:
-                out = out + b * self.lr_mul
+                out = out + b
         elif self.activation:
             out = fused_leaky_relu(out, None)
         return out
@@ -126,6 +132,8 @@ class MappingLinear(nn.Module):
         b = self.param(
             "bias", lambda key, shape: jax.random.uniform(key, shape, minval=-bound, maxval=bound), (self.out_dim,)
         )
+        weight = weight.astype(x.dtype)
+        b = b.astype(x.dtype)
         if self.activation:
             return fused_leaky_relu(x @ weight.T, b, scale=1.0)
         return x @ weight.T + b
@@ -149,10 +157,10 @@ class EqualConv2d(nn.Module):
             (self.out_channel, in_channel, self.kernel_size, self.kernel_size),
         )
         scale = 1.0 / math.sqrt(in_channel * self.kernel_size**2)
-        out = conv2d_torch(x, weight * scale, stride=self.stride, padding=self.padding)
+        out = conv2d_torch(x, (weight * scale).astype(x.dtype), stride=self.stride, padding=self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
-            out = out + b.reshape(1, -1, 1, 1)
+            out = out + b.astype(x.dtype).reshape(1, -1, 1, 1)
         return out
 
 
@@ -183,11 +191,14 @@ class ModulatedConv2d(nn.Module):
         scale = 1.0 / math.sqrt(in_channel * k * k)
         s = EqualLinear(in_channel, bias_init=1.0, name="modulation")(style)  # [B, in]
 
-        w = scale * weight  # [1, out, in, k, k]
+        w = scale * weight  # [1, out, in, k, k] (f32 master)
         if self.demodulate:
-            wmod = w * s[:, None, :, None, None]  # [B, out, in, k, k] (style-scaled)
+            # demod statistics in f32 regardless of compute dtype (sum of many squares)
+            wmod = w * s.astype(jnp.float32)[:, None, :, None, None]
             demod = jax.lax.rsqrt(jnp.sum(wmod * wmod, axis=(2, 3, 4)) + 1e-8)  # [B, out]
-        x = x * s[:, :, None, None]
+            demod = demod.astype(x.dtype)
+        x = x * s.astype(x.dtype)[:, :, None, None]
+        w = w.astype(x.dtype)
 
         kernel = make_kernel(self.blur_kernel)
         if self.upsample:
@@ -222,7 +233,7 @@ class NoiseInjection(nn.Module):
             b, _, h, width = image.shape
             key = self.make_rng("noise")
             noise = jax.random.normal(key, (b, 1, h, width), image.dtype)
-        return image + w * noise
+        return image + w.astype(image.dtype) * noise.astype(image.dtype)
 
 
 class StyledConv(nn.Module):
@@ -244,7 +255,7 @@ class StyledConv(nn.Module):
         )(x, style)
         out = NoiseInjection(name="noise")(out, noise)
         bias = self.param("bias", nn.initializers.zeros, (1, self.out_channel, 1, 1))
-        return fused_leaky_relu(out + bias, None)
+        return fused_leaky_relu(out + bias.astype(out.dtype), None)
 
 
 class ToRGB(nn.Module):
@@ -258,7 +269,7 @@ class ToRGB(nn.Module):
     def __call__(self, x: jnp.ndarray, style: jnp.ndarray, skip: jnp.ndarray | None = None) -> jnp.ndarray:
         out = ModulatedConv2d(self.out_channels, 1, demodulate=False, name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1))
-        out = out + bias
+        out = out + bias.astype(out.dtype)
         if skip is not None:
             if self.upsample:
                 skip = upsample2x(skip, make_kernel(self.blur_kernel))
@@ -296,7 +307,7 @@ class ConvLayer(nn.Module):
         if self.activate:
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
-                out = fused_leaky_relu(out, b)
+                out = fused_leaky_relu(out, b.astype(out.dtype))
             else:
                 out = fused_leaky_relu(out, None)
         return out

@@ -19,16 +19,17 @@ from e3dge_tpu.models.encoders.fpn import TorchConv
 from e3dge_tpu.ops import interpolate_bicubic
 
 
-def _group_norm(channels: int, name: str):
-    # torch GroupNorm(32, C); for tiny test configs fall back to fewer groups
+def _group_norm(channels: int, name: str, dtype=None):
+    # torch GroupNorm(32, C); for tiny test configs fall back to fewer groups.
+    # dtype = output/compute dtype (statistics stay f32 inside flax).
     groups = 32 if channels % 32 == 0 and channels >= 32 else min(4, channels)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype, name=name)
 
 
 def _gn(x: jnp.ndarray, channels: int, name: str) -> jnp.ndarray:
     """GroupNorm over NCHW via NHWC transpose (must be called in compact context)."""
     x = jnp.transpose(x, (0, 2, 3, 1))
-    x = _group_norm(channels, name)(x)
+    x = _group_norm(channels, name, dtype=x.dtype)(x)
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
@@ -46,7 +47,7 @@ class ConvBlock(nn.Module):
         def gn(h, name):
             c = h.shape[1]
             h = jnp.transpose(h, (0, 2, 3, 1))
-            h = _group_norm(c, name)(h)
+            h = _group_norm(c, name, dtype=h.dtype)(h)
             return jnp.transpose(h, (0, 3, 1, 2))
 
         out1 = TorchConv(o2, 3, padding=1, use_bias=False, name="conv1")(jax.nn.relu(gn(x, "bn1")))

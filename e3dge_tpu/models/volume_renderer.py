@@ -134,6 +134,7 @@ class VolumeFeatureRenderer(nn.Module):
         train: bool = False,
         no_force_stop: bool = False,
         z_vals: jnp.ndarray | None = None,
+        return_raw_h: bool = False,
     ) -> dict[str, Any]:
         """Render a batch of views.
 
@@ -145,6 +146,8 @@ class VolumeFeatureRenderer(nn.Module):
             [B, H, W, S, width] — the E1 local-branch injection point.
           train: enables perturbed sampling per cfg.
           z_vals: optional externally-fixed depth samples (cross-view queries).
+          return_raw_h: also return the raw SIREN backbone hidden [B, H, W, S, width]
+            so a later SAME-view pass can reuse it (render_from_backbone).
 
         Returns the reference's `sample_batch` dict (volume_renderer.py:1270-1287):
         gen_thumb_imgs [-1,1], features, sdf, mask, xyz, depth, hit_prob (weights),
@@ -169,8 +172,17 @@ class VolumeFeatureRenderer(nn.Module):
         pts = rays_to_points(rays_o, rays_d, z_vals)  # [B, H, W, S, 3]
 
         dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        raw_h = None
         if c.fused_inference and not train:
             rgb_raw, sdf, features = self._query_fused(pts, dirs, styles, conditions)
+        elif return_raw_h:
+            # split query so the backbone hidden is a named output (cache for
+            # same-view re-renders — tex modulation does not touch it)
+            raw_h = self.network.backbone(self._warp(pts), styles)
+            sdf = self.network.geo_head(raw_h)
+            rgb_raw, features = self.network.tex_head(raw_h, dirs, styles, conditions)
+            if not c.output_features:
+                features = None
         else:
             raw = self.query_raw(pts, dirs, styles, conditions)
             rgb_raw = raw[..., :3]
@@ -190,7 +202,7 @@ class VolumeFeatureRenderer(nn.Module):
             fg_mask_threshold=c.fg_mask_threshold,
         )
 
-        return {
+        result = {
             "gen_thumb_imgs": jnp.transpose(out.rgb, (0, 3, 1, 2)),  # NCHW like reference
             "features": None if out.features is None else jnp.transpose(out.features, (0, 3, 1, 2)),
             "sdf": out.sdf,
@@ -208,6 +220,41 @@ class VolumeFeatureRenderer(nn.Module):
             "near": camera.near,
             "far": camera.far,
         }
+        if raw_h is not None:
+            result["raw_h"] = raw_h
+        return result
+
+    def render_from_backbone(
+        self,
+        cached: dict[str, Any],
+        styles: jnp.ndarray,
+        conditions: tuple[jnp.ndarray, jnp.ndarray] | None,
+    ) -> dict[str, Any]:
+        """Texture-head-only re-render on a cached backbone hidden — the SAME-view
+        E1 re-render shortcut.
+
+        The reference recomputes the whole field for the local-conditioned pass
+        (volume_renderer.py:1865-1972); but the released configs modulate only the
+        texture branch ((alpha+1)*h + beta before views_linears, :217-220), so the
+        backbone hidden, SDF, and therefore the integration weights of a same-view
+        pass are bit-identical to the global pass. Re-running just views_linears +
+        rgb_linear + the weighted sums skips 8 of the 10 field matmul layers
+        (~8 ms/img of the 1024^2 inversion on v5e).
+
+        cached: the pass-1 render dict with `raw_h` (from return_raw_h=True).
+        Returns the same dict layout with re-composited thumb/features.
+        """
+        h = cached["raw_h"]
+        weights = cached["hit_prob"]  # post-force_background, identical in pass 2
+        dirs = jnp.broadcast_to(cached["viewdirs"][..., None, :], h.shape[:-1] + (3,))
+        rgb_raw, features = self.network.tex_head(h, dirs, styles, conditions)
+        rgb = -1.0 + 2.0 * jnp.sum(weights * jax.nn.sigmoid(rgb_raw), axis=-2)
+        out = dict(cached)
+        out["gen_thumb_imgs"] = jnp.transpose(rgb, (0, 3, 1, 2))
+        if self.cfg.output_features:
+            feature_map = jnp.sum(weights * features, axis=-2)
+            out["features"] = jnp.transpose(feature_map, (0, 3, 1, 2))
+        return out
 
     # -- occlusion / visibility ------------------------------------------------
 

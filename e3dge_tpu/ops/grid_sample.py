@@ -173,8 +173,11 @@ def _cubic_matrix(out_size: int, in_size: int, align_corners: bool) -> np.ndarra
 
 
 def _separable_resize(x: jnp.ndarray, my: np.ndarray, mx: np.ndarray) -> jnp.ndarray:
-    out = jnp.einsum("oh,bchw->bcow", jnp.asarray(my), x, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("pw,bcow->bcop", jnp.asarray(mx), out, precision=jax.lax.Precision.HIGHEST)
+    # interpolation matrices follow the input dtype (bf16 inputs stay bf16)
+    my = jnp.asarray(my, x.dtype)
+    mx = jnp.asarray(mx, x.dtype)
+    out = jnp.einsum("oh,bchw->bcow", my, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bcow->bcop", mx, out, precision=jax.lax.Precision.HIGHEST)
 
 
 def interpolate_bilinear(

@@ -71,14 +71,15 @@ def upfirdn2d(
     b, c, h, w = x.shape
     kh, kw = kernel.shape
 
-    # True convolution == correlation with a flipped kernel.
-    k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+    # True convolution == correlation with a flipped kernel. The FIR conv runs in
+    # the INPUT dtype (bf16 inputs stay bf16 — this op is HBM-bandwidth-bound).
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
     # Depthwise: one shared filter broadcast over channels.
     # Kernel layout HWIO with feature_group_count=C: [kh, kw, 1, C].
     k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
 
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x,
         k,
         window_strides=(down_y, down_x),
         padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),

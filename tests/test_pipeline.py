@@ -129,3 +129,34 @@ def test_pool_helpers():
     up = upsample_nearest(down, 4)
     assert up.shape == (1, 1, 4, 4)
     np.testing.assert_allclose(np.asarray(up[0, 0, :2, :2]), 2.5)
+
+
+def test_cached_backbone_rerender_matches_full(full_pipeline):
+    """Same-view conditioned re-render via the cached SIREN backbone
+    (render_from_backbone) equals the full recompute path: tex-only modulation
+    leaves backbone/SDF/weights identical, so the shortcut is exact."""
+    cfg, model, v, images, ml = full_pipeline
+    ref_info = model.apply(
+        v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)}
+    )
+    assert "raw_h" in ref_info["global_render_out"]  # inference requests the cache
+
+    def render(reuse):
+        return model.apply(
+            v,
+            ref_info,
+            ref_info["cam_settings"],
+            que_info=ref_info["global_render_out"],
+            reuse_backbone=reuse,
+            method=E3DGE.que_render_given_ref,
+            rngs={"noise": jax.random.key(5)},
+        )["res_render_out"]
+
+    fast = render(True)
+    slow = render(False)
+    np.testing.assert_allclose(
+        np.asarray(fast["gen_thumb_imgs"]), np.asarray(slow["gen_thumb_imgs"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["gen_imgs"]), np.asarray(slow["gen_imgs"]), atol=2e-4
+    )
