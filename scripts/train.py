@@ -106,6 +106,34 @@ def main():
     # (critical on remote-compiled TPU backends)
     variables = jax.jit(model.init)({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
 
+    if args.ckpt:
+        # warm-start from a previous stage's checkpoint (reference --ckpt surgery,
+        # train_setup.py:144-177 + misc_utils.py:207-213 size-matched partial load:
+        # stage 2.1 loads the stage-1 E0 but keeps fresh E1/netLocal params; stage
+        # 2.2 loads the stage-2.1 netLocal/ADA and adds a fresh fusion block)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(Path(args.ckpt).resolve())
+
+        loaded = skipped = 0
+
+        def merge(dst, src):
+            nonlocal loaded, skipped
+            if isinstance(dst, dict):
+                return {
+                    k: (merge(dst[k], src[k]) if isinstance(src, dict) and k in src else dst[k])
+                    for k in dst
+                }
+            if hasattr(src, "shape") and dst.shape == src.shape:
+                loaded += 1
+                return jnp.asarray(src)
+            skipped += 1
+            return dst
+
+        variables = merge(variables, restored["variables"])
+        print(f"warm-started from {args.ckpt}: {loaded} leaves loaded, "
+              f"{skipped} shape-mismatched kept fresh")
+
     # true mean latents from the (frozen, ideally pretrained) generator mapping
     ml = model.apply(variables, jax.random.key(2), 1000, method=E3DGE.mean_latent)
 
@@ -196,6 +224,9 @@ def main():
     ml = replicate(ml, mesh)
 
     runner = Runner(cfg, variables, ml, work_dir=args.work_dir)
+    from e3dge_tpu.utils.logger import MetricLogger
+
+    logger = MetricLogger(args.work_dir, config={"stage": args.stage, "cfg": cfg.to_dict()})
     key = jax.random.key(42)
     t0 = time.perf_counter()
 
@@ -227,6 +258,7 @@ def main():
             rate = (it + 1) / (time.perf_counter() - t0)
             extras = f" pose_scale={float(schedule(it)):.2f}" if args.pose_curriculum else ""
             print(f"iter {it + 1}: loss={m['loss']:.4f} ({rate:.2f} it/s){extras} {m}")
+            logger.log(it + 1, m)
         if args.val_data and (it + 1) % args.val_every == 0:
             sync_runner_variables()
             scores = runner.validation(args.val_data, batch_size=args.batch, max_images=8)

@@ -8,4 +8,4 @@ python scripts/train.py --stage 2.2 \
   --fix-ada --ema --pose-curriculum \
   --adv-lambda 0.01 --r1 60 --d-reg-every 16 \
   --val-every 2000 --ckpt-every 1000 \
-  --work-dir "${WORK_DIR:-runs/train/stage2.2}" "$@"
+  --work-dir "${WORK_DIR:-runs/train/stage2.2}" ${CKPT:+--ckpt "$CKPT"} "$@"
