@@ -100,6 +100,11 @@ def main():
         frames = runner.render_video(batch["image"], n_views=args.views)
         np.save(Path(args.out) / "video_frames.npy", frames)
         print("wrote", Path(args.out) / "video_frames.npy", frames.shape)
+        from e3dge_tpu.utils.image_io import write_video
+
+        for i, vid in enumerate(frames):  # one trajectory video per image
+            p = write_video(Path(args.out) / "videos" / f"{i}.mp4", vid)
+        print(f"wrote {len(frames)} trajectory videos under", Path(args.out) / "videos")
     elif args.mode == "edit":
         assert args.boundaries, "--boundaries required for editing"
         runner.load_boundaries(args.boundaries)
