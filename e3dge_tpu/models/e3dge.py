@@ -116,10 +116,16 @@ class E3DGE(nn.Module):
         return out
 
     def image2camsettings(self, images: jnp.ndarray) -> CameraParams:
-        """Pose estimation via the volume D viewpoint head."""
+        """Pose estimation via the volume D viewpoint head.
+
+        Serving runs the D forward in the compute dtype (bf16 under config
+        `dtype`); predicted angles return to f32 for the camera matrix math.
+        Training D steps call `volume_discriminator` directly with f32 inputs and
+        are unaffected (layers follow their input dtype)."""
         c = self.cfg
-        thumb = adaptive_avg_pool(images, c.renderer.out_im_res)
+        thumb = adaptive_avg_pool(images, c.renderer.out_im_res).astype(self.compute_dtype)
         _, locations = self.volume_discriminator(thumb)
+        locations = locations.astype(jnp.float32)
         return camera_params_from_angles(
             locations[:, 0], locations[:, 1], c.renderer.out_im_res, c.camera.fov_ang, c.camera.dist_radius
         )

@@ -10,7 +10,9 @@ from e3dge_tpu.ops.grid_sample import (
 from e3dge_tpu.ops.posenc import pos_encoding
 from e3dge_tpu.ops.upfirdn2d import (
     blur,
+    conv2d_up_fused,
     downsample2x,
+    fuse_fir_upsample,
     make_kernel,
     upfirdn2d,
     upsample2x,
@@ -29,4 +31,6 @@ __all__ = [
     "upsample2x",
     "downsample2x",
     "blur",
+    "fuse_fir_upsample",
+    "conv2d_up_fused",
 ]

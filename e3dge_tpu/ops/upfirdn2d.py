@@ -132,6 +132,65 @@ def upfirdn2d_ref(x: np.ndarray, kernel: np.ndarray, up=1, down=1, pad=(0, 0)) -
     return res[:, :, ::down_y, ::down_x].astype(x.dtype)
 
 
+def fuse_fir_upsample(weight: jnp.ndarray, fir: jnp.ndarray, gain: float = 4.0):
+    """Compose `conv_transpose(stride 2, weight) -> FIR blur` into ONE lhs-dilated
+    correlation kernel + padding (the fused form of the reference's upsample
+    ModulatedConv2d + Blur, stylesdf_model.py:328-344 + :96-120).
+
+    The two-pass form writes the pre-blur tensor (the largest activation in the
+    StyleGAN2 pyramid) to HBM and reads it back for a depthwise VPU blur. Since
+    blur is per-channel linear, it folds into the conv weight: the composite of
+    true-conv by W then true-conv by F is true-conv by (F * W) — one MXU conv,
+    which XLA phase-decomposes over the dilated input (same MACs, half the
+    HBM passes).
+
+    Args:
+      weight: [out, in, k, k] conv_transpose weight (per-pair true-conv taps).
+      fir:    [kh, kw] normalized FIR taps (make_kernel output).
+      gain:   up**2 blur gain (reference Blur(upsample_factor=2)).
+    Returns:
+      (g_hwio [K, K, in, out] correlation kernel with K = k + kh - 1,
+       pad (pl, pr) for conv_general_dilated with lhs_dilation=2)
+    matching: blur(conv_transpose2d_torch(x, w.transpose(0,1)), fir*gain,
+              pad=((p+1)//2+1, p//2+1)) with p = (kh-2) - (k-1).
+    """
+    o, i, k, _ = weight.shape
+    kh = fir.shape[0]
+    # conv_full(F, w) per (out, in) pair == correlate(w, flip(F)) at full padding
+    pairs = weight.reshape(o * i, 1, k, k)
+    ff = jnp.flip(fir, (0, 1)).astype(weight.dtype)[:, :, None, None]  # HWIO [kh,kw,1,1]
+    c = jax.lax.conv_general_dilated(
+        pairs,
+        ff,
+        window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kh - 1, kh - 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [o*i, 1, K, K] = conv_full(F, w)
+    kk = k + kh - 1
+    # composite correlation kernel G = flip(conv_full(F, w)) * gain
+    g = jnp.flip(c, (-2, -1)).reshape(o, i, kk, kk) * gain
+    g_hwio = jnp.transpose(g, (2, 3, 1, 0))
+    p = (kh - 2) - (k - 1)
+    q0 = (p + 1) // 2 + 1  # blur high-side pad at the call site
+    pl = q0 + k - 1
+    pr = kk - pl
+    return g_hwio, (pl, pr)
+
+
+def conv2d_up_fused(x: jnp.ndarray, g_hwio: jnp.ndarray, pad: tuple[int, int]) -> jnp.ndarray:
+    """Apply the fused upsample conv: correlate the 2x-dilated input with the
+    composed kernel from fuse_fir_upsample."""
+    return jax.lax.conv_general_dilated(
+        x,
+        g_hwio.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=(pad, pad),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+
+
 # ---- StyleGAN2 resampling wrappers (reference stylesdf_model.py:96-165) ----
 
 

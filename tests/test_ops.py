@@ -145,3 +145,24 @@ def test_pos_encoding_dims_and_values():
     np.testing.assert_allclose(np.asarray(out[0, :3]), np.asarray(x[0]))
     np.testing.assert_allclose(np.asarray(out[0, 3:6]), np.sin(np.asarray(x[0])), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out[0, 6:9]), np.cos(np.asarray(x[0])), rtol=1e-6)
+
+
+def test_fused_fir_upsample_matches_two_pass():
+    """conv_transpose(stride 2) + FIR blur == one lhs-dilated conv with the
+    composed kernel (reference upsample ModulatedConv2d + Blur,
+    stylesdf_model.py:328-344; fused form in ops/upfirdn2d.py)."""
+    from e3dge_tpu.models.layers import conv_transpose2d_torch
+    from e3dge_tpu.ops.upfirdn2d import blur, conv2d_up_fused, fuse_fir_upsample, make_kernel
+
+    rng = np.random.RandomState(11)
+    fir = make_kernel([1, 3, 3, 1])
+    for k in (3, 1):
+        x = jnp.asarray(rng.randn(2, 5, 8, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(7, 5, k, k).astype(np.float32))  # [out, in, k, k]
+        y = conv_transpose2d_torch(x, jnp.transpose(w, (1, 0, 2, 3)), stride=2)
+        p = (4 - 2) - (k - 1)
+        want = blur(y, fir, pad=((p + 1) // 2 + 1, p // 2 + 1), upsample_factor=2)
+        g, pad = fuse_fir_upsample(w, fir, gain=4.0)
+        got = conv2d_up_fused(x, g, pad)
+        assert got.shape == want.shape == (2, 7, 16, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
