@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from e3dge_tpu.ops.fast_math import fast_sin
+
 
 class SirenLinear(nn.Module):
     """SIREN linear with frequency-aware init (reference LinearLayer,
@@ -50,7 +52,11 @@ class SirenLinear(nn.Module):
         bias = self.param(
             "bias", lambda key, shape: jax.random.uniform(key, shape, minval=-bound, maxval=bound), (self.out_dim,)
         )
-        return self.std_init * (x @ weight.T + bias) + self.bias_init
+        # layers follow their input dtype (f32 master params cast at use) — the
+        # renderer's field_dtype boundary switches the whole field to bf16
+        w = weight.astype(x.dtype)
+        b = bias.astype(x.dtype)
+        return self.std_init * (x @ w.T + b) + self.bias_init
 
 
 class FiLMSiren(nn.Module):
@@ -77,12 +83,17 @@ class FiLMSiren(nn.Module):
         bias = self.param(
             "bias", lambda key, shape: jax.random.uniform(key, shape, minval=-bound, maxval=bound), (self.out_channel,)
         )
+        style = style.astype(x.dtype)  # FiLM heads follow the field dtype
         gamma = SirenLinear(self.out_channel, bias_init=30.0, std_init=15.0, name="gamma")(style)
         beta = SirenLinear(self.out_channel, bias_init=0.0, std_init=0.25, name="beta")(style)
         # broadcast [B, C] FiLM params over intermediate (spatial/sample) axes
         bshape = (style.shape[0],) + (1,) * (x.ndim - 2) + (self.out_channel,)
-        out = x @ weight.T + bias
-        return jnp.sin(gamma.reshape(bshape) * out + beta.reshape(bshape))
+        out = x @ weight.astype(x.dtype).T + bias.astype(x.dtype)
+        arg = gamma.reshape(bshape) * out + beta.reshape(bshape)
+        # bf16 field: polynomial sin fuses into the matmul epilogue — the field is
+        # otherwise sine-transcendental-bound on the VPU (ops/fast_math.py); f32
+        # keeps jnp.sin for bit-stable goldens / reference parity
+        return fast_sin(arg) if arg.dtype == jnp.bfloat16 else jnp.sin(arg)
 
 
 class SirenGenerator(nn.Module):
@@ -127,7 +138,7 @@ class SirenGenerator(nn.Module):
         'global_local' strategy with (alpha+1)*h + beta before the sigma linear)."""
         if conditions is not None:
             alpha, beta = conditions
-            h = (alpha + 1.0) * h + beta
+            h = (alpha.astype(h.dtype) + 1.0) * h + beta.astype(h.dtype)
         return self.sigma_linear(h)
 
     def tex_head(
@@ -140,8 +151,8 @@ class SirenGenerator(nn.Module):
         """(rgb, features). conditions = (alpha, beta) local SFT modulation."""
         if conditions is not None:
             alpha, beta = conditions
-            h = (alpha + 1.0) * h + beta
-        h = jnp.concatenate([h, views], axis=-1)
+            h = (alpha.astype(h.dtype) + 1.0) * h + beta.astype(h.dtype)
+        h = jnp.concatenate([h, views.astype(h.dtype)], axis=-1)
         view_style = styles[:, -1] if styles.ndim == 3 else styles
         features = self.views_linears(h, view_style)
         rgb = self.rgb_linear(features)

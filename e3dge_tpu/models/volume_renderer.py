@@ -172,22 +172,31 @@ class VolumeFeatureRenderer(nn.Module):
         pts = rays_to_points(rays_o, rays_d, z_vals)  # [B, H, W, S, 3]
 
         dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        # field_dtype boundary: the SIREN query runs in bf16 when configured (the
+        # field is HBM-pass-bound; see RendererConfig.field_dtype), while ray
+        # geometry above and integration below stay f32.
+        fdt = jnp.dtype(c.field_dtype)
+        q_pts, q_dirs, q_styles = pts.astype(fdt), dirs.astype(fdt), styles.astype(fdt)
         raw_h = None
         if c.fused_inference and not train:
-            rgb_raw, sdf, features = self._query_fused(pts, dirs, styles, conditions)
+            rgb_raw, sdf, features = self._query_fused(q_pts, q_dirs, q_styles, conditions)
         elif return_raw_h:
             # split query so the backbone hidden is a named output (cache for
             # same-view re-renders — tex modulation does not touch it)
-            raw_h = self.network.backbone(self._warp(pts), styles)
+            raw_h = self.network.backbone(self._warp(q_pts), q_styles)
             sdf = self.network.geo_head(raw_h)
-            rgb_raw, features = self.network.tex_head(raw_h, dirs, styles, conditions)
+            rgb_raw, features = self.network.tex_head(raw_h, q_dirs, q_styles, conditions)
             if not c.output_features:
                 features = None
         else:
-            raw = self.query_raw(pts, dirs, styles, conditions)
+            raw = self.query_raw(q_pts, q_dirs, q_styles, conditions)
             rgb_raw = raw[..., :3]
             sdf = raw[..., 3:4]
             features = raw[..., 4:] if c.output_features else None
+        rgb_raw = rgb_raw.astype(jnp.float32)
+        sdf = sdf.astype(jnp.float32)
+        if features is not None:
+            features = features.astype(jnp.float32)
 
         out = volume_integrate(
             rgb_raw,
@@ -244,10 +253,12 @@ class VolumeFeatureRenderer(nn.Module):
         cached: the pass-1 render dict with `raw_h` (from return_raw_h=True).
         Returns the same dict layout with re-composited thumb/features.
         """
-        h = cached["raw_h"]
+        h = cached["raw_h"]  # stays in field_dtype; tex head follows it
         weights = cached["hit_prob"]  # post-force_background, identical in pass 2
         dirs = jnp.broadcast_to(cached["viewdirs"][..., None, :], h.shape[:-1] + (3,))
-        rgb_raw, features = self.network.tex_head(h, dirs, styles, conditions)
+        rgb_raw, features = self.network.tex_head(h, dirs, styles.astype(h.dtype), conditions)
+        rgb_raw = rgb_raw.astype(jnp.float32)
+        features = features.astype(jnp.float32)
         rgb = -1.0 + 2.0 * jnp.sum(weights * jax.nn.sigmoid(rgb_raw), axis=-2)
         out = dict(cached)
         out["gen_thumb_imgs"] = jnp.transpose(rgb, (0, 3, 1, 2))

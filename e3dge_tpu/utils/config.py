@@ -55,6 +55,11 @@ class RendererConfig:
     sample_uniform_grid: bool = False
     uniform_grid_sampling_num: int = 2048
     surface_sampling_stdv: float = 0.03
+    # Field compute dtype: "bfloat16" runs the SIREN query (backbone + heads) in
+    # bf16 — the field is HBM-pass-bound on TPU (~0.7 ms per pass over the
+    # [B,H,W,S,width] hidden at full scale), so halving bytes halves render time.
+    # Integration, z-sampling, and SDF-gradient paths (query_sdf/eikonal) stay f32.
+    field_dtype: str = "float32"
     # Pallas fused field query on the inference path (ops/pallas/siren_kernel.py).
     # EXPERIMENTAL: parity-verified, but on v5e the XLA formulation currently wins
     # (0.22 ms vs 1.84 ms per 98k-point query) — keep False for production.

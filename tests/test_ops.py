@@ -166,3 +166,21 @@ def test_fused_fir_upsample_matches_two_pass():
         got = conv2d_up_fused(x, g, pad)
         assert got.shape == want.shape == (2, 7, 16, 16)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fast_sin_accuracy_and_dtype():
+    """Polynomial sin (ops/fast_math.py): ~1e-6 accurate over the FiLM-SIREN
+    argument range, preserves dtype, and differentiates."""
+    from e3dge_tpu.ops.fast_math import fast_sin
+
+    x = jnp.asarray(np.random.RandomState(5).uniform(-60, 60, (100000,)).astype(np.float32))
+    err = np.abs(np.asarray(fast_sin(x)) - np.sin(np.asarray(x)))
+    assert err.max() < 1e-5, err.max()
+    xb = x.astype(jnp.bfloat16)
+    out = fast_sin(xb)
+    assert out.dtype == jnp.bfloat16
+    # bf16 path stays within bf16 quantization of the true sine
+    errb = np.abs(np.asarray(out, np.float32) - np.sin(np.asarray(xb, np.float32)))
+    assert errb.max() < 1e-2
+    g = jax.grad(lambda v: fast_sin(v).sum())(jnp.asarray([0.3, 2.0]))
+    np.testing.assert_allclose(np.asarray(g), np.cos([0.3, 2.0]), atol=1e-4)

@@ -88,3 +88,30 @@ def test_pipeline_bf16_end_to_end(tiny_full_setup):
     scale = float(jnp.abs(out32).max()) + 1e-6
     err = np.abs(np.asarray(out16) - np.asarray(out32)) / scale
     assert err.mean() < 0.05, f"bf16 pipeline drifted: mean rel err {err.mean():.4f}"
+
+
+def test_field_bf16_close_to_f32(tiny_full_setup):
+    """renderer field_dtype=bfloat16: the SIREN query runs in bf16 (raw_h cache
+    included), integration stays f32, and the render stays close to the f32 field."""
+    import dataclasses
+
+    from e3dge_tpu.utils.config import _with
+
+    cfg, model, v, ml = tiny_full_setup
+    cfg16 = _with(dataclasses.replace(cfg), renderer=dict(field_dtype="bfloat16")).validate()
+    model16 = E3DGE(cfg16)
+    imgs = jax.random.normal(jax.random.key(3), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size)) * 0.3
+
+    def run(m):
+        out = m.apply(v, imgs, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(2)})
+        return out["res_render_out"]["gen_imgs"], out["ref_info"]["global_render_out"]
+
+    out32, g32 = run(model)
+    out16, g16 = run(model16)
+    assert g16["raw_h"].dtype == jnp.bfloat16  # cached backbone hidden in field dtype
+    assert g16["sdf"].dtype == jnp.float32     # integration inputs cast back
+    assert out16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out16)).all()
+    scale = float(jnp.abs(out32).max()) + 1e-6
+    err = np.abs(np.asarray(out16) - np.asarray(out32)) / scale
+    assert err.mean() < 0.05, f"bf16 field drifted: mean rel err {err.mean():.4f}"
