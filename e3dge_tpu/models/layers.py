@@ -26,7 +26,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from e3dge_tpu.ops import blur, conv2d_up_fused, fuse_fir_upsample, fused_leaky_relu, make_kernel, upsample2x
+from e3dge_tpu.ops import (
+    blur,
+    conv2d_up_fused,
+    conv_transpose2x_blur_phased,
+    fuse_fir_upsample,
+    fused_leaky_relu,
+    make_kernel,
+    upsample2x,
+)
 
 
 def _kaiming_normal_torch(key, shape, dtype=jnp.float32, a=0.2, gain_mul=1.0):
@@ -202,12 +210,13 @@ class ModulatedConv2d(nn.Module):
 
         kernel = make_kernel(self.blur_kernel)
         if self.upsample:
-            # conv_transpose with shared weight [in, out, k, k].
-            # NOTE a mathematically-equivalent single-pass form exists
-            # (ops/upfirdn2d.fuse_fir_upsample: fold the FIR into a 6x6
-            # lhs-dilated kernel) but measured 2x SLOWER on v5e — Mosaic/XLA does
-            # not phase-decompose the enlarged dilated kernel, paying 4x MACs
-            # (34.7 vs 18.0 ms for the full G0+G1). Keep the two-pass form.
+            # conv_transpose + FIR blur, two passes. Two mathematically-equal
+            # single-pass forms were built, golden-tested, and MEASURED SLOWER on
+            # v5e: (a) the 6x6 lhs-dilated fused kernel (conv2d_up_fused, 2x
+            # slower — Mosaic does not phase-decompose it) and (b) manual phase
+            # decomposition into a 4*O-channel stride-1 conv + depth-to-space
+            # (conv_transpose2x_blur_phased, +1.9 ms e2e — the interleave copy
+            # costs more than the VPU blur it removes). Keep the two-pass form.
             w_t = jnp.transpose(w[0], (1, 0, 2, 3))
             out = conv_transpose2d_torch(x, w_t, stride=2)
             if self.demodulate:

@@ -11,6 +11,7 @@ from e3dge_tpu.ops.posenc import pos_encoding
 from e3dge_tpu.ops.upfirdn2d import (
     blur,
     conv2d_up_fused,
+    conv_transpose2x_blur_phased,
     downsample2x,
     fuse_fir_upsample,
     make_kernel,
@@ -33,4 +34,5 @@ __all__ = [
     "blur",
     "fuse_fir_upsample",
     "conv2d_up_fused",
+    "conv_transpose2x_blur_phased",
 ]

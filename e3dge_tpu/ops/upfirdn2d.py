@@ -191,6 +191,50 @@ def conv2d_up_fused(x: jnp.ndarray, g_hwio: jnp.ndarray, pad: tuple[int, int]) -
     )
 
 
+def conv_transpose2x_blur_phased(x: jnp.ndarray, weight: jnp.ndarray, fir: jnp.ndarray, gain: float = 4.0):
+    """conv_transpose(stride 2, k=3) + FIR blur as ONE stride-1 MXU conv via
+    manual phase decomposition — the fast fused form on TPU.
+
+    The naive fused form (conv2d_up_fused: 6x6 kernel over the 2x-dilated input)
+    is 2x slower on v5e because Mosaic does not phase-decompose the dilated conv
+    (pays 4x MACs), and the two-pass form pays a VPU-bound 16-tap depthwise blur
+    over the LARGEST pyramid tensors (~1 ms per 1024^2 layer, measured). Here the
+    decomposition is done by hand: output phase (py, px) of the composed kernel G
+    (fuse_fir_upsample) sees only taps G[2dy+3-py, 2dx+3-px] — a 3x3 subkernel —
+    so the whole op becomes one stride-1 conv with 4x the output channels on the
+    UN-dilated input, followed by a depth-to-space interleave. Same MAC count as
+    the plain conv_transpose, all on the MXU, zero blur.
+
+    Args:
+      x: [B, I, H, W]; weight: [O, I, 3, 3] (conv_transpose taps, per-pair true
+      conv); fir: [4, 4] normalized taps; gain: blur gain (up**2).
+    Returns [B, O, 2H, 2W], numerically equal to
+      blur(conv_transpose2d_torch(x, w.T, 2), fir*gain, pad=(1, 1)).
+    """
+    o, i, k, _ = weight.shape
+    kh = fir.shape[0]
+    assert k == 3 and kh == 4, "phase decomposition specialized to k=3, 4-tap FIR"
+    g, _pad = fuse_fir_upsample(weight, fir, gain)  # [6, 6, I, O] HWIO correlation kernel
+    # phase subkernels: K[py,px][dy+1, dx+1] = G[2dy+3-py, 2dx+3-px]
+    dy = jnp.arange(3) * 2 + 1  # 2*(-1..1) + 3
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            phases.append(g[dy[:, None] - py, dy[None, :] - px])  # [3, 3, I, O]
+    kern = jnp.concatenate(phases, axis=-1)  # [3, 3, I, 4*O]
+    b, _, h, w = x.shape
+    out = jax.lax.conv_general_dilated(
+        x,
+        kern.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )  # [B, 4*O, H, W] ordered (py, px, O)
+    out = out.reshape(b, 2, 2, o, h, w)
+    out = jnp.transpose(out, (0, 3, 4, 1, 5, 2))  # [B, O, H, 2, W, 2]
+    return out.reshape(b, o, 2 * h, 2 * w)
+
+
 # ---- StyleGAN2 resampling wrappers (reference stylesdf_model.py:96-165) ----
 
 

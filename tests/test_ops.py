@@ -184,3 +184,20 @@ def test_fast_sin_accuracy_and_dtype():
     assert errb.max() < 1e-2
     g = jax.grad(lambda v: fast_sin(v).sum())(jnp.asarray([0.3, 2.0]))
     np.testing.assert_allclose(np.asarray(g), np.cos([0.3, 2.0]), atol=1e-4)
+
+
+def test_phased_upsample_conv_matches_two_pass():
+    """conv_transpose(stride 2, k=3) + FIR blur == 4*O-channel stride-1 conv +
+    depth-to-space (manual phase decomposition, ops/upfirdn2d.py — kept as a
+    documented primitive; the two-pass form is faster on v5e)."""
+    from e3dge_tpu.models.layers import conv_transpose2d_torch
+    from e3dge_tpu.ops.upfirdn2d import blur, conv_transpose2x_blur_phased, make_kernel
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 5, 8, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 5, 3, 3).astype(np.float32))
+    fir = make_kernel([1, 3, 3, 1])
+    y = conv_transpose2d_torch(x, jnp.transpose(w, (1, 0, 2, 3)), stride=2)
+    want = blur(y, fir, pad=(1, 1), upsample_factor=2)
+    got = conv_transpose2x_blur_phased(x, w, fir, gain=4.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
