@@ -35,8 +35,14 @@ class ResnetBlockFC(nn.Module):
     zero_init: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        size_in = x.shape[-1]
+    def __call__(self, x: jnp.ndarray | tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        # A tuple input is treated as the (unmaterialized) concat of its parts:
+        # the input matmuls split by weight columns, so callers can pass e.g.
+        # (hourglass_feats, pos_encoding) without building the [..., 301] tensor
+        # (XLA materializes that concat once per consumer — ~1.2 ms/img at full
+        # scale). Parameter shapes/layout are unchanged (torch-ingestion safe).
+        parts = x if isinstance(x, tuple) else (x,)
+        size_in = sum(p.shape[-1] for p in parts)
         size_h = self.size_h or min(size_in, self.size_out)
 
         def kaiming(key, shape):
@@ -50,15 +56,24 @@ class ResnetBlockFC(nn.Module):
         w1 = self.param("fc_1_weight", nn.initializers.zeros, (self.size_out, size_h))
         b1 = self.param("fc_1_bias", nn.initializers.zeros, (self.size_out,))
 
-        net = jax.nn.relu(x) @ w0.T + b0
+        def split_matmul(w, pre=None):
+            acc, col = None, 0
+            for p in parts:
+                d = p.shape[-1]
+                q = (pre(p) if pre else p) @ w[:, col : col + d].T
+                acc = q if acc is None else acc + q
+                col += d
+            return acc
+
+        net = split_matmul(w0, pre=jax.nn.relu) + b0
         dx = jax.nn.relu(net) @ w1.T + b1
 
         if size_in == self.size_out:
-            xs = x
+            xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         else:
             ws_init = nn.initializers.zeros if self.zero_init else kaiming
             ws = self.param("shortcut_weight", ws_init, (self.size_out, size_in))
-            xs = x @ ws.T
+            xs = split_matmul(ws)
         return xs + dx
 
 

@@ -277,7 +277,10 @@ class E3DGE(nn.Module):
         feature_2d = jnp.concatenate([feature_2d, vis_mask], axis=-1)
         fused = self.fuse_sft_block(feature_2d, feature_3d, w=fusion_weight)
         pe = pos_encoding(que_pts, n_freqs=7)
-        local_feats = jnp.concatenate([fused, pe], axis=-1)  # [B,H,W,S, 256+45]
+        # tuple = unmaterialized concat: the modulation MLP splits its input
+        # matmuls by weight columns (align.ResnetBlockFC), skipping two
+        # [B,H,W,S,301] concat materializations
+        local_feats = (fused, pe)  # logical [B,H,W,S, 256+45]
 
         # 6. modulations + final full-pipeline render on the SAME z_vals.
         # reuse_backbone (same-view only, e.g. image2image): the tex-only SFT

@@ -191,3 +191,29 @@ def test_ranger_optimizer_with_grad_centralization():
     state = tx.init(params)
     updates, _ = tx.update(grads, state, params)
     assert jax.tree.map(lambda x: x.shape, updates) == jax.tree.map(lambda x: x.shape, params)
+
+
+def test_resnet_block_fc_tuple_equals_concat():
+    """Tuple input (split-column matmuls, no concat materialization) matches the
+    concatenated-array path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from e3dge_tpu.models.align import ResnetBlockFC
+
+    m = ResnetBlockFC(24)
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(2, 5, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 5, 9).astype(np.float32))
+    cat = jnp.concatenate([a, b], axis=-1)
+    v = m.init(jax.random.key(0), cat)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, (a, b))), np.asarray(m.apply(v, cat)), rtol=1e-5, atol=1e-5
+    )
+    # identity-shortcut case (size_in == size_out)
+    m2 = ResnetBlockFC(25)
+    v2 = m2.init(jax.random.key(1), cat)
+    np.testing.assert_allclose(
+        np.asarray(m2.apply(v2, (a, b))), np.asarray(m2.apply(v2, cat)), rtol=1e-5, atol=1e-5
+    )
