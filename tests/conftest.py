@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: compiles dominate suite runtime on this
+# 1-core host; warm re-runs skip them entirely (first run pays ~1s/graph extra
+# serialization). Scoped to tests — production paths keep default behavior.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:  # best-effort: older jax versions lack some of these knobs
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except AttributeError:
+    pass
+
 import pytest  # noqa: E402
 
 
