@@ -525,9 +525,16 @@ class Runner:
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, name: str = "latest"):
+        """Restore variables from `<work_dir>/models_<name>`, or from an explicit
+        orbax checkpoint directory when `name` is a path (eval --ckpt pointing at
+        another run's work dir)."""
         import orbax.checkpoint as ocp
 
-        path = (self.work_dir / f"models_{name}").resolve()
+        cand = Path(name).expanduser()
+        if cand.is_dir():
+            path = cand.resolve()
+        else:
+            path = (self.work_dir / f"models_{name}").resolve()
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path)
         self.variables = restored["variables"]

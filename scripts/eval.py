@@ -73,7 +73,7 @@ def main():
 
     runner = Runner(cfg, variables, ml, work_dir=args.out, lpips_fn=lpips_fn, id_fn=id_fn)
     if args.ckpt:
-        runner.load_checkpoint(Path(args.ckpt).name.removeprefix("models_"))
+        runner.load_checkpoint(args.ckpt)  # full path or a models_<name> in --out
     if args.torch_ckpt:
         from e3dge_tpu.utils.torch_ckpt import (
             ingest_variables,

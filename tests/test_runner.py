@@ -87,6 +87,10 @@ def test_checkpoint_rotation(runner):
     runner.load_checkpoint("latest")
     v_after = jax.tree.leaves(runner.variables)[0]
     np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_after))
+    # explicit-path load (eval --ckpt pointing at another run's work dir)
+    runner.load_checkpoint(str(runner.work_dir / "models_latest"))
+    v_path = jax.tree.leaves(runner.variables)[0]
+    np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_path))
 
 
 def test_render_video_projected_noise(runner):
