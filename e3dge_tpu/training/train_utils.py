@@ -48,3 +48,29 @@ def make_noise(key: jax.Array, size: int, in_res: int, batch: int = 1):
         key, k = jax.random.split(key)
         noises.append(jax.random.normal(k, (batch, 1, res, res)))
     return noises
+
+
+def warm_start_merge(dst, src):
+    """Size-matched partial checkpoint merge (reference --ckpt surgery,
+    train_setup.py:144-177 + misc_utils.py:207-213): every leaf of `dst` whose
+    counterpart in `src` exists with the same shape is replaced; missing or
+    shape-mismatched leaves keep their fresh init (stage 2.1 loads the stage-1
+    E0 but keeps fresh E1/netLocal; stage 2.2 adds a fresh fusion block).
+
+    Returns (merged, loaded_count, skipped_count)."""
+    counts = [0, 0]  # loaded, skipped
+
+    def rec(d, s):
+        if isinstance(d, dict):
+            return {
+                k: (rec(d[k], s[k]) if isinstance(s, dict) and k in s else d[k])
+                for k in d
+            }
+        if hasattr(s, "shape") and d.shape == s.shape:
+            counts[0] += 1
+            return jnp.asarray(s)
+        counts[1] += 1
+        return d
+
+    merged = rec(dst, src)
+    return merged, counts[0], counts[1]

@@ -113,24 +113,10 @@ def main():
         # 2.2 loads the stage-2.1 netLocal/ADA and adds a fresh fusion block)
         import orbax.checkpoint as ocp
 
+        from e3dge_tpu.training.train_utils import warm_start_merge
+
         restored = ocp.StandardCheckpointer().restore(Path(args.ckpt).resolve())
-
-        loaded = skipped = 0
-
-        def merge(dst, src):
-            nonlocal loaded, skipped
-            if isinstance(dst, dict):
-                return {
-                    k: (merge(dst[k], src[k]) if isinstance(src, dict) and k in src else dst[k])
-                    for k in dst
-                }
-            if hasattr(src, "shape") and dst.shape == src.shape:
-                loaded += 1
-                return jnp.asarray(src)
-            skipped += 1
-            return dst
-
-        variables = merge(variables, restored["variables"])
+        variables, loaded, skipped = warm_start_merge(variables, restored["variables"])
         print(f"warm-started from {args.ckpt}: {loaded} leaves loaded, "
               f"{skipped} shape-mismatched kept fresh")
 

@@ -305,3 +305,33 @@ def test_volume_d_step(tiny_test_setup):
         jax.tree.map(lambda a, b: jnp.any(a != b), state.params, state2.params)
     )
     assert any(bool(m) for m in moved)
+
+
+def test_warm_start_merge_partial():
+    """Size-matched partial load: matching shapes load, mismatches/missing keep
+    fresh (reference --ckpt surgery semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from e3dge_tpu.training.train_utils import warm_start_merge
+
+    fresh = {
+        "params": {
+            "e0": jnp.zeros((3, 3)),          # present, same shape -> loaded
+            "e1": jnp.zeros((4,)),            # present, different shape -> fresh
+            "fusion": jnp.zeros((2, 2)),      # absent in ckpt -> fresh
+        }
+    }
+    ckpt = {
+        "params": {
+            "e0": jnp.ones((3, 3)),
+            "e1": jnp.ones((7,)),
+            "extra": jnp.ones((9,)),          # extra ckpt keys ignored
+        }
+    }
+    merged, loaded, skipped = warm_start_merge(fresh, ckpt)
+    assert (loaded, skipped) == (1, 1)
+    np.testing.assert_array_equal(np.asarray(merged["params"]["e0"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(merged["params"]["e1"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(merged["params"]["fusion"]), 0.0)
+    assert "extra" not in merged["params"]
