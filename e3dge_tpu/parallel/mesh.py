@@ -68,9 +68,23 @@ def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis: str = "dp") -> Any:
-    """Place a host batch with its leading axis split over the mesh."""
+    """Place a host batch with its leading axis split over the mesh.
+
+    Raises early (with the offending shape) when the batch is not divisible by
+    the dp axis — XLA's own error for uneven shards is far less readable."""
+    n = mesh.shape[axis]
     s = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n != 0:
+            raise ValueError(
+                f"shard_batch: leading axis {x.shape[0]} of leaf shape {tuple(x.shape)} "
+                f"is not divisible by mesh axis '{axis}' size {n}; pad the batch or "
+                f"pick a batch size divisible by the dp degree"
+            )
+        return jax.device_put(x, s)
+
+    return jax.tree.map(place, tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -46,14 +46,19 @@ class Runner:
         self.lpips_fn = lpips_fn
         self.id_fn = id_fn
         self.boundaries: dict | None = None
-        self._jit_cache: dict[str, Callable] = {}
+        self._jit_cache: dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------ jit helpers
 
-    def _jitted(self, name: str, fn: Callable) -> Callable:
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+    def _jitted(self, name: str, fn: Callable, *statics) -> Callable:
+        """Cache a jitted closure. Any Python value the closure captures (rather
+        than receiving as a traced argument) MUST be part of the cache key —
+        pass it in `statics`. jit itself retraces on shape changes, but a stale
+        closed-over static would silently reuse the first-call value."""
+        key = (name, *statics)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     def _apply(self, method, *args, **kwargs):
         return self.model.apply(
@@ -114,10 +119,11 @@ class Runner:
                 azim_bv, elev_bv, self.cfg.renderer.out_im_res, self.cfg.camera.fov_ang, self.cfg.camera.dist_radius
             )
             fn = self._jitted(
-                f"render_multiview_{n_views}",
+                "render_multiview",
                 lambda v, r, c: self.model.apply(
                     v, r, c, n_views, method=E3DGE.render_multiview, rngs={"noise": jax.random.key(0)}
                 ),
+                n_views,
             )
             out = fn(self.variables, ref_info, cams)
             imgs = np.asarray(out["res_render_out"]["gen_imgs"])
@@ -489,6 +495,7 @@ class Runner:
             fn = self._jitted(
                 "val_metrics",
                 lambda p, g: self._per_image_metrics(_pool(p, res), _pool(g, res)),
+                res,  # closed-over static -> part of the cache key
             )
             metrics = fn(pred, imgs)
             for k, v in metrics.items():
@@ -505,8 +512,13 @@ class Runner:
 
     # ------------------------------------------------------------ checkpoints
 
-    def save_checkpoint(self, state=None, name: str = "latest"):
-        """Orbax save with the reference's `_old` rotation (base_runner.py:277-284)."""
+    def save_checkpoint(self, state=None, name: str = "latest", d_state=None):
+        """Orbax save with the reference's `_old` rotation (base_runner.py:277-284).
+
+        `state` (TrainState) and `d_state` (DState) persist the full training
+        state — optimizer moments, step count, EMA — like the reference's
+        `<optim>_optimizer` dicts (base_runner.py:252-285). Restoring them needs
+        matching templates (see load_checkpoint)."""
         import orbax.checkpoint as ocp
 
         path = (self.work_dir / f"models_{name}").resolve()
@@ -518,16 +530,25 @@ class Runner:
                 shutil.rmtree(old)
             path.rename(old)
         ckptr = ocp.StandardCheckpointer()
-        payload = {"variables": self.variables}
+        # separate items so eval can restore `variables` without knowing the
+        # (optax-structured) training-state templates, and vice versa
+        ckptr.save(path / "variables", self.variables)
         if state is not None:
-            payload["state"] = state
-        ckptr.save(path, payload)
+            ckptr.save(path / "state", state)
+        if d_state is not None:
+            ckptr.save(path / "d_state", d_state)
         ckptr.wait_until_finished()
 
-    def load_checkpoint(self, name: str = "latest"):
+    def load_checkpoint(self, name: str = "latest", state_template=None, d_template=None):
         """Restore variables from `<work_dir>/models_<name>`, or from an explicit
         orbax checkpoint directory when `name` is a path (eval --ckpt pointing at
-        another run's work dir)."""
+        another run's work dir).
+
+        With `state_template` (a TrainState of the right structure, e.g. a fresh
+        create_train_state result) the saved training state is restored with its
+        proper NamedTuple/optax types and returned; same for `d_template`.
+        Returns (state, d_state) — entries are None when absent from the ckpt or
+        no template was given."""
         import orbax.checkpoint as ocp
 
         cand = Path(name).expanduser()
@@ -536,7 +557,15 @@ class Runner:
         else:
             path = (self.work_dir / f"models_{name}").resolve()
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path)
-        self.variables = restored["variables"]
+        state = d_state = None
+        if (path / "variables").is_dir():  # current layout: separate items
+            self.variables = ckptr.restore(path / "variables", self.variables)
+            if state_template is not None and (path / "state").is_dir():
+                state = ckptr.restore(path / "state", state_template)
+            if d_template is not None and (path / "d_state").is_dir():
+                d_state = ckptr.restore(path / "d_state", d_template)
+        else:  # legacy layout: one {"variables": ...} item
+            restored = ckptr.restore(path)
+            self.variables = restored["variables"]
         self._jit_cache.clear()
-        return restored.get("state")
+        return state, d_state

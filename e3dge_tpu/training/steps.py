@@ -499,27 +499,42 @@ def netlocal_pretrain_loss(
 
 
 def make_volume_d_step(model: E3DGE, lambdas: dict[str, float], tx: optax.GradientTransformation):
-    """Volume-D adversarial step with viewpoint regression + R1 (trainer.py:1100-1195)."""
+    """Volume-D adversarial step with viewpoint regression + R1 (reference
+    _train_discriminator_step, non-enable_G1 branch, trainer.py:1165-1186):
+    d_gan * discriminator_lambda + r1*0.5*grad_penalty + view_lambda * viewpoint.
+
+    The viewpoint loss supervises the D's pose head on the FAKE thumbs, whose
+    ground-truth (azim, elev) are known from the synthetic sampling cameras —
+    this is how the head becomes the inference-time pose estimator."""
 
     def d_apply(variables, imgs):
         gan, _ = model.apply(variables, imgs, method=lambda m, x: m.volume_discriminator(x))
         return gan
 
-    def loss_fn(trainable, state: TrainState, real_thumbs, real_viewpoints, fake_thumbs):
+    def loss_fn(trainable, state: TrainState, real_thumbs, fake_thumbs, fake_viewpoints):
         variables = {"params": {**state.frozen, **trainable}, **state.extra}
-        real_pred, real_vp = model.apply(variables, real_thumbs, method=lambda m, x: m.volume_discriminator(x))
-        fake_pred, _ = model.apply(variables, fake_thumbs, method=lambda m, x: m.volume_discriminator(x))
-        loss = L.d_logistic_loss(real_pred, fake_pred)
-        vp_loss = L.viewpoint_loss(real_vp, real_viewpoints)
+        real_pred, _ = model.apply(variables, real_thumbs, method=lambda m, x: m.volume_discriminator(x))
+        fake_pred, fake_vp = model.apply(variables, fake_thumbs, method=lambda m, x: m.volume_discriminator(x))
+        d_gan = L.d_logistic_loss(real_pred, fake_pred)
+        loss = d_gan * lambdas.get("discriminator_lambda", 1.0)
+        vp_loss = L.viewpoint_loss(fake_vp, fake_viewpoints)
         loss = loss + lambdas.get("viewpoint_lambda", 1.0) * vp_loss
+        metrics = {
+            "d": d_gan,
+            "viewpoint": vp_loss,
+            "real_score": jnp.mean(real_pred),
+            "fake_score": jnp.mean(fake_pred),
+        }
         if lambdas.get("r1", 0.0) > 0:
             r1 = L.d_r1_penalty(d_apply, variables, real_thumbs)
             loss = loss + lambdas["r1"] / 2.0 * r1
-        return loss, {"d_loss": loss, "viewpoint": vp_loss}
+            metrics["r1"] = r1
+        metrics["d_loss"] = loss
+        return loss, metrics
 
-    def train_step(state: TrainState, real_thumbs, real_viewpoints, fake_thumbs):
+    def train_step(state: TrainState, real_thumbs, fake_thumbs, fake_viewpoints):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, real_thumbs, real_viewpoints, fake_thumbs
+            state.params, state, real_thumbs, fake_thumbs, fake_viewpoints
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

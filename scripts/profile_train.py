@@ -32,7 +32,9 @@ def time_fn(fn, sync, n=8, warmup=1):
     return (time.perf_counter() - t0) / n * 1000.0  # ms
 
 
-def build(cfg_kwargs, batch):
+def build(cfg_kwargs, batch, dtype=None, perceptual=False):
+    import dataclasses
+
     from __graft_entry__ import fast_init
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
     from e3dge_tpu.training.steps import (
@@ -46,6 +48,8 @@ def build(cfg_kwargs, batch):
     cfg = stage1_config()
     if cfg_kwargs:
         cfg = _with(cfg, renderer=cfg_kwargs).validate()
+    if dtype:
+        cfg = dataclasses.replace(cfg, dtype=dtype)
     model = E3DGE(cfg)
     ml = LatentMeans(
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
@@ -55,9 +59,20 @@ def build(cfg_kwargs, batch):
     variables = fast_init(model, {"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
     tx = make_optimizer(1e-4)
     state = create_train_state(variables, STAGE1_TRAINABLE, tx)
+    # full reference stage-1 recipe (stage1.sh:36-55); vgg/id terms only when the
+    # perceptual nets are built (they add an AlexNet+IR-SE-50 fwd+bwd per step)
     lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.2,
                    shape_surface_lambda=1.0, shape_normal_lambda=1.0, eikonal_lambda=0.1)
-    step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,), donate_argnums=(0,))
+    lpips_fn = id_fn = None
+    if perceptual:
+        from e3dge_tpu.training.perceptual import make_perceptual_fns
+
+        lambdas.update(lpips_lambda=0.8, id_lambda=0.1)
+        lpips_fn, id_fn = make_perceptual_fns(image_size=256)
+    step = jax.jit(
+        make_stage1_step(model, lambdas, tx, lpips_fn=lpips_fn, id_fn=id_fn),
+        static_argnums=(3,), donate_argnums=(0,),
+    )
     return cfg, model, variables, ml, state, step
 
 
@@ -74,9 +89,15 @@ def main():
         "remat": dict(remat_field=True),
         "n18": dict(n_samples=18),          # reference stage1.sh trains with 18
         "remat_n18": dict(remat_field=True, n_samples=18),
+        "bf16": dict(_dtype="bfloat16"),
+        "bf16_recipe": dict(_dtype="bfloat16", _perceptual=True),  # + LPIPS/ID terms
+        "recipe": dict(_perceptual=True),
     }
     for name in args.variants.split(","):
-        cfg, model, variables, ml, state, step = build(variant_cfgs[name], args.batch)
+        vk = dict(variant_cfgs[name])
+        dtype = vk.pop("_dtype", None)
+        perceptual = vk.pop("_perceptual", False)
+        cfg, model, variables, ml, state, step = build(vk, args.batch, dtype=dtype, perceptual=perceptual)
 
         # pieces FIRST: the full step donates `state`, whose leaves alias `variables`
         if args.pieces:

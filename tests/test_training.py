@@ -127,20 +127,22 @@ def test_cycle_step_runs(tiny_full_setup):
     assert set(state2.params.keys()) == set(STAGE22_TRAINABLE)
 
 
-def test_stage1_data_parallel_8dev_mesh(tiny_test_setup):
-    """Full stage-1 step over the virtual 8-device CPU mesh: replicated state,
-    XLA-derived grad all-reduce."""
-    assert jax.device_count() >= 8
+def test_stage1_data_parallel_mesh(tiny_test_setup):
+    """Full stage-1 step over a virtual 4-device CPU dp mesh: replicated state,
+    XLA-derived grad all-reduce. (4 devices keeps the cold compile ~2x cheaper
+    than 8 without weakening the assertion; the one true 8-dev test is the
+    cycle-step loss-equality below.)"""
+    assert jax.device_count() >= 4
     cfg, model, v, ml = tiny_test_setup
     tx = make_optimizer(1e-4)
     state = create_train_state(v, STAGE1_TRAINABLE, tx)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)
     state = replicate(state, mesh)
     ml_r = replicate(ml, mesh)
     lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.1)
     step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,))
-    state2, metrics = step(state, ml_r, jax.random.key(5), 8)
+    state2, metrics = step(state, ml_r, jax.random.key(5), 4)
     assert np.isfinite(float(metrics["loss"]))
 
 
@@ -298,13 +300,89 @@ def test_volume_d_step(tiny_test_setup):
     res = cfg.renderer.out_im_res
     real = jax.random.normal(jax.random.key(2), (2, 3, res, res))
     fake = jax.random.normal(jax.random.key(3), (2, 3, res, res))
-    vp = jax.random.normal(jax.random.key(4), (2, 2)) * 0.1
-    state2, metrics = step(state, real, vp, fake)
+    vp = jax.random.normal(jax.random.key(4), (2, 2)) * 0.1  # fakes' GT (azim, elev)
+    state2, metrics = step(state, real, fake, vp)
     assert np.isfinite(float(metrics["d_loss"]))
+    assert float(metrics["r1"]) > 0.0 and np.isfinite(float(metrics["viewpoint"]))
     moved = jax.tree.leaves(
         jax.tree.map(lambda a, b: jnp.any(a != b), state.params, state2.params)
     )
     assert any(bool(m) for m in moved)
+
+
+def test_train_resume_identical_trajectory(tiny_test_setup, tmp_path):
+    """Kill-and-resume fidelity (reference base_runner.py:252-285 saves optimizer
+    dicts): 6 straight steps == 3 steps + full-state checkpoint round-trip + 3
+    steps, with per-iter fold_in keys (the scripts/train.py scheme)."""
+    from e3dge_tpu.runner import Runner
+
+    cfg, model, v, ml = tiny_test_setup
+    tx = make_optimizer(1e-3)
+    lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.2)
+    step = jax.jit(make_stage1_step(model, lambdas, tx), static_argnums=(3,))
+    base = jax.random.key(42)
+
+    def run(state, start, n):
+        losses = []
+        for it in range(start, start + n):
+            state, m = step(state, ml, jax.random.fold_in(base, it), 2)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    # uninterrupted
+    sA, lossesA = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 6)
+
+    # interrupted: 3 steps, checkpoint, fresh process state, restore, 3 more
+    sB, lossesB1 = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 3)
+    runner = Runner(cfg, {"params": {**sB.frozen, **sB.params}, **sB.extra}, ml, work_dir=tmp_path)
+    runner.save_checkpoint(state=sB, name="latest")
+    fresh = create_train_state(v, STAGE1_TRAINABLE, tx, ema=True)
+    restored, _ = runner.load_checkpoint("latest", state_template=fresh)
+    assert int(restored.step) == 3
+    sB2, lossesB2 = run(restored, 3, 3)
+
+    np.testing.assert_allclose(lossesA, lossesB1 + lossesB2, rtol=1e-6)
+    # EMA survived the round trip and matches the uninterrupted run
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(sA.ema)[0]), np.asarray(jax.tree.leaves(sB2.ema)[0]), rtol=1e-6
+    )
+
+
+def test_shard_batch_uneven_guard():
+    """Uneven dp shards fail fast with a readable error (parallel/mesh.py)."""
+    import pytest
+
+    from e3dge_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch({"x": jnp.zeros((3, 4))}, mesh)
+    out = shard_batch({"x": jnp.zeros((8, 4))}, mesh)
+    assert out["x"].shape == (8, 4)
+
+
+def test_stage1_step_with_perceptual_losses(tiny_test_setup):
+    """The full reference loss recipe through the stage-1 step: LPIPS + ID terms
+    (random-init surrogates) appear in the metrics and the loss stays finite
+    (reference stage1.sh --vgg_lambda 0.8 --id_lambda 0.1)."""
+    from e3dge_tpu.training.perceptual import make_perceptual_fns
+
+    cfg, model, v, ml = tiny_test_setup
+    lpips_fn, id_fn = make_perceptual_fns(image_size=cfg.decoder.size)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(v, STAGE1_TRAINABLE, tx)
+    lambdas = dict(
+        l2_lambda=1.0, lpips_lambda=0.8, id_lambda=0.1, latent_gt_lambda=1.0,
+        shape_uniform_lambda=0.2, shape_surface_lambda=1.0,
+        shape_normal_lambda=1.0, eikonal_lambda=0.1,
+    )
+    step = jax.jit(
+        make_stage1_step(model, lambdas, tx, lpips_fn=lpips_fn, id_fn=id_fn),
+        static_argnums=(3,),
+    )
+    _, metrics = step(state, ml, jax.random.key(5), 2)
+    for k in ("loss", "loss_lpips", "loss_id", "surface_norm_rec_loss", "eikonal_term"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
 
 
 def test_warm_start_merge_partial():
