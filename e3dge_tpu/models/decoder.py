@@ -123,15 +123,33 @@ class Decoder(nn.Module):
         out = self.conv1(features, latent[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latent[:, 1], skip=rgbd_in)
 
+        s2d_min = self.cfg.s2d_min_res
         i = 1
+        res = self.cfg.in_res
         for conv1, conv2, noise1, noise2, to_rgb in zip(
             self.convs[::2], self.convs[1::2], noise[1::2], noise[2::2], self.to_rgbs
         ):
+            res *= 2
             if i == self.condition_layer and conditions is not None:
                 out = out * (1.0 + conditions[0]) + conditions[1]
-            out = conv1(out, latent[:, i], noise=noise1)
-            out = conv2(out, latent[:, i + 1], noise=noise2)
-            skip = to_rgb(out, latent[:, i + 2], skip=skip)
+            if s2d_min and res >= s2d_min:
+                # phase-space level (s2d tail): upsample conv ENTERS phase space
+                # (blur folded, no interleave), the 3x3 conv and ToRGB stay in
+                # it; `skip` is full-res from the previous level and upsamples
+                # directly into phase space. Between consecutive s2d levels the
+                # conv output is re-interleaved (cheap vs the layout-copy tax
+                # it avoids — see ops/space_to_depth.py).
+                out_ph = conv1(out, latent[:, i], noise=noise1, phase="enter")
+                out_ph = conv2(out_ph, latent[:, i + 1], noise=noise2, phase="inside")
+                skip_ph = to_rgb(out_ph, latent[:, i + 2], skip=skip, phase=True)
+                from e3dge_tpu.ops.space_to_depth import d2s
+
+                out = d2s(out_ph) if res < self.cfg.size else None
+                skip = d2s(skip_ph)
+            else:
+                out = conv1(out, latent[:, i], noise=noise1)
+                out = conv2(out, latent[:, i + 1], noise=noise2)
+                skip = to_rgb(out, latent[:, i + 2], skip=skip)
             i += 2
 
         if return_latents:

@@ -239,17 +239,23 @@ class E3DGE(nn.Module):
         ref_hit_prob = None
         if use_ref_view_weight:
             renderer = self.generator.renderer
+            # the weighting is non-differentiable data in the released recipe (the
+            # generator is frozen and E0 is frozen in stage 2, cycle_runner.py:133-161)
+            # — stop_gradient lets the occlusion field run the bf16 serving path
+            # (occlusion_field_dtype) and skips its backward graph entirely
+            sg_pts = jax.lax.stop_gradient(que_pts)
+            sg_styles = jax.lax.stop_gradient(ref_info["pred_latents"][0])
             if c.renderer.force_background:
                 # re-integrate occlusion for all but the forced-background sample,
                 # then put the leftover mass on the last one (cycle_runner.py:139-155)
                 hp = renderer.query_hit_prob(
-                    que_pts[..., :-1, :], ref_info["cam_settings"], ref_info["pred_latents"][0]
+                    sg_pts[..., :-1, :], ref_info["cam_settings"], sg_styles
                 )
                 last = 1.0 - jnp.sum(hp, axis=-2, keepdims=True)
                 ref_hit_prob = jnp.concatenate([hp, last], axis=-2)
             else:
                 ref_hit_prob = renderer.query_hit_prob(
-                    que_pts, ref_info["cam_settings"], ref_info["pred_latents"][0]
+                    sg_pts, ref_info["cam_settings"], sg_styles
                 )
             in_img_3d = proj["in_img"].reshape(B, H, W, S, 1).astype(feature_3d.dtype)
             ref_hit_prob = ref_hit_prob * in_img_3d

@@ -25,6 +25,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e3dge_tpu.ops import (
     blur,
@@ -190,9 +191,18 @@ class ModulatedConv2d(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, style: jnp.ndarray, phase: str | None = None) -> jnp.ndarray:
+        """phase: None = standard full-res path. Phase-space modes for the
+        decoder's s2d tail (ops/space_to_depth.py — same params, half-res
+        tensors at 4x channels, no depthwise-blur/layout-copy tax):
+          'enter'  — upsample conv, full-res in -> PHASE-SPACE out (blur folded
+                     into the phased conv_transpose kernel, no interleave);
+          'inside' — 3x3 stride-1 conv, phase in -> phase out;
+          'rgb'    — 1x1 conv (ToRGB), phase in -> phase out."""
         batch, in_channel, height, width = x.shape
         k = self.kernel_size
+        if phase in ("inside", "rgb"):
+            in_channel = in_channel // 4
         weight = self.param(
             "weight", nn.initializers.normal(stddev=1.0), (1, self.out_channel, in_channel, k, k)
         )
@@ -205,8 +215,35 @@ class ModulatedConv2d(nn.Module):
             wmod = w * s.astype(jnp.float32)[:, None, :, None, None]
             demod = jax.lax.rsqrt(jnp.sum(wmod * wmod, axis=(2, 3, 4)) + 1e-8)  # [B, out]
             demod = demod.astype(x.dtype)
-        x = x * s.astype(x.dtype)[:, :, None, None]
+        s_in = s.astype(x.dtype)
+        if phase in ("inside", "rgb"):
+            s_in = jnp.tile(s_in, (1, 4))  # phase-major channel order
+        x = x * s_in[:, :, None, None]
         w = w.astype(x.dtype)
+
+        if phase is not None:
+            from e3dge_tpu.ops.space_to_depth import (
+                conv1x1_phase_kernel,
+                conv3x3_phase_kernel,
+                conv_transpose2x_blur_phase_kernel,
+            )
+
+            if phase == "enter":
+                assert self.upsample and k == 3
+                kern = conv_transpose2x_blur_phase_kernel(w[0], make_kernel(self.blur_kernel))
+                out = jax.lax.conv_general_dilated(
+                    x, kern.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                )
+            elif phase == "inside":
+                assert k == 3 and not self.upsample and not self.downsample
+                out = conv2d_torch(x, conv3x3_phase_kernel(w[0]).astype(x.dtype), padding=1)
+            else:  # 'rgb'
+                assert k == 1
+                out = conv2d_torch(x, conv1x1_phase_kernel(w[0]).astype(x.dtype))
+            if self.demodulate:
+                out = out * jnp.tile(demod, (1, 4))[:, :, None, None]
+            return out
 
         kernel = make_kernel(self.blur_kernel)
         if self.upsample:
@@ -241,8 +278,20 @@ class NoiseInjection(nn.Module):
     mesh-projected noise variant lives in render/noise_projection.py)."""
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, noise: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self, image: jnp.ndarray, noise: jnp.ndarray | None = None, phase_channels: int | None = None
+    ) -> jnp.ndarray:
         w = self.param("weight", nn.initializers.zeros, (1,))
+        if phase_channels is not None:
+            # phase-space image (s2d tail): noise is drawn/split at FULL res so
+            # values match the standard path under the same rng stream
+            from e3dge_tpu.ops.space_to_depth import s2d_noise
+
+            if noise is None:
+                b, _, h, width = image.shape
+                key = self.make_rng("noise")
+                noise = jax.random.normal(key, (b, 1, 2 * h, 2 * width), image.dtype)
+            return image + w.astype(image.dtype) * s2d_noise(noise.astype(image.dtype), phase_channels)
         if noise is None:
             b, _, h, width = image.shape
             key = self.make_rng("noise")
@@ -259,14 +308,25 @@ class StyledConv(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, style: jnp.ndarray, noise: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        style: jnp.ndarray,
+        noise: jnp.ndarray | None = None,
+        phase: str | None = None,
+    ) -> jnp.ndarray:
         out = ModulatedConv2d(
             self.out_channel,
             self.kernel_size,
             upsample=self.upsample,
             blur_kernel=self.blur_kernel,
             name="conv",
-        )(x, style)
+        )(x, style, phase=phase)
+        if phase is not None:
+            out = NoiseInjection(name="noise")(out, noise, phase_channels=self.out_channel)
+            bias = self.param("bias", nn.initializers.zeros, (1, self.out_channel, 1, 1))
+            b_ph = jnp.tile(bias[0, :, 0, 0], (4,)).reshape(1, -1, 1, 1)
+            return fused_leaky_relu(out + b_ph.astype(out.dtype), None)
         out = NoiseInjection(name="noise")(out, noise)
         bias = self.param("bias", nn.initializers.zeros, (1, self.out_channel, 1, 1))
         return fused_leaky_relu(out + bias.astype(out.dtype), None)
@@ -280,7 +340,29 @@ class ToRGB(nn.Module):
     out_channels: int = 3
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, style: jnp.ndarray, skip: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        style: jnp.ndarray,
+        skip: jnp.ndarray | None = None,
+        phase: bool = False,
+    ) -> jnp.ndarray:
+        """phase=True (s2d tail): x is phase-space; `skip` is FULL-res at the
+        previous level's resolution and is upsampled directly INTO phase space
+        (no zero-inserted 2x tensor); returns the phase-space rgb skip."""
+        if phase:
+            from e3dge_tpu.ops.space_to_depth import upsample2x_phases
+
+            out = ModulatedConv2d(self.out_channels, 1, demodulate=False, name="conv")(
+                x, style, phase="rgb"
+            )
+            bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1))
+            b_ph = jnp.tile(bias[0, :, 0, 0], (4,)).reshape(1, -1, 1, 1)
+            out = out + b_ph.astype(out.dtype)
+            if skip is not None:
+                assert self.upsample
+                out = out + upsample2x_phases(skip, np.asarray(make_kernel(self.blur_kernel)))
+            return out
         out = ModulatedConv2d(self.out_channels, 1, demodulate=False, name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1))
         out = out + bias.astype(out.dtype)

@@ -333,14 +333,19 @@ class VolumeFeatureRenderer(nn.Module):
         viewdirs_c = pad_n(viewdirs).reshape(B, n_chunks, chunk, 3)
         z_vals_c = pad_n(z_vals).reshape(B, n_chunks, chunk, S_ray)
 
+        # stop-gradient weighting against the frozen field -> serving dtype OK
+        # (bf16 + fast_sin when occlusion_field_dtype/field_dtype says so)
+        odt = jnp.dtype(c.occlusion_field_dtype or c.field_dtype)
+        styles_q = ref_styles.astype(odt)
+
         def one_chunk(args):
             rd, vd, zv = args  # [B, chunk, 3], [B, chunk, 3], [B, chunk, S_ray]
             q = rays_o[:, None, None] + rd[:, :, None] * zv[..., None]  # [B, chunk, S_ray, 3]
             dirs = jnp.broadcast_to(vd[:, :, None], q.shape)
-            raw = self.query_raw(q, dirs, ref_styles)
+            raw = self.query_raw(q.astype(odt), dirs.astype(odt), styles_q)
             out = volume_integrate(
-                raw[..., :3],
-                raw[..., 3:4],
+                raw[..., :3].astype(jnp.float32),
+                raw[..., 3:4].astype(jnp.float32),
                 None,
                 zv,
                 vd,  # normalized viewdirs: dists already scaled by d_norm via interval
@@ -408,13 +413,16 @@ class VolumeFeatureRenderer(nn.Module):
         pts_c = pad_n(pts).reshape(B, n_chunks, chunk, 3)
         vd_c = pad_n(viewdirs).reshape(B, n_chunks, chunk, 3)
 
+        odt = jnp.dtype(c.occlusion_field_dtype or c.field_dtype)
+        styles_q = ref_styles.astype(odt)
+
         def one_chunk(args):
             np_, p, vd = args
             # [B, chunk, S_ray, 3]: lerp from near plane to the query point
             q = np_[:, :, None] * (1.0 - t_vals)[None, None, :, None] + p[:, :, None] * t_vals[None, None, :, None]
             zv = jnp.linalg.norm(q - rays_o[:, None, None], axis=-1)  # true arc length
             dirs = jnp.broadcast_to(vd[:, :, None], q.shape)
-            raw = self.query_raw(q, dirs, ref_styles)
+            raw = self.query_raw(q.astype(odt), dirs.astype(odt), styles_q).astype(jnp.float32)
             out = volume_integrate(
                 raw[..., :3], raw[..., 3:4], None, zv, vd, q,
                 self.sigmoid_beta, force_background=False, no_force_stop=True,

@@ -57,25 +57,31 @@ def _siren_kernel(
 ):
     f32 = jnp.float32
 
-    # Measured on v5e: the kernel is VPU-bound (sin() on N*W*(D+1) ~ 226M elements
-    # dominates at ~9 ms), so matmul precision barely moves the needle — keep the
-    # exact f32 MXU path. 'bf16' kept for experiments (SIREN's gamma~30 FiLM gain
-    # amplifies matmul rounding into sin phase error, so expect visible drift).
-    if precision == "bf16":
+    # r2 measured the f32+jnp.sin kernel VPU-bound (sin() on N*W*(D+1) ~ 226M
+    # elements ~ 9 ms). 'serving' applies the same fixes as the XLA serving path
+    # (models/siren.py): bf16 MXU matmuls with f32 accumulate + the range-reduced
+    # polynomial fast_sin (ops/fast_math.py, ~6 FMAs, max err 9.6e-8) — matching
+    # the bf16 field tolerance the precision tests already pin. 'highest' keeps
+    # exact f32 + jnp.sin for golden parity.
+    if precision in ("bf16", "serving"):
         def mm(a, w):
             return jnp.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16), preferred_element_type=f32)
     else:
         def mm(a, w):
             return jnp.dot(a, w, preferred_element_type=f32)
+    if precision == "serving":
+        from e3dge_tpu.ops.fast_math import fast_sin as sin_fn
+    else:
+        sin_fn = jnp.sin
 
     pts = pts_ref[:]
     # layer 0: [T, 8] @ [8, W]
     h = mm(pts, w_first_ref[:])
-    h = jnp.sin(gamma_ref[0][None, :] * (h + b_stack_ref[0][None, :]) + beta_ref[0][None, :])
+    h = sin_fn(gamma_ref[0][None, :] * (h + b_stack_ref[0][None, :]) + beta_ref[0][None, :])
     # layers 1..D-1
     for i in range(depth - 1):
         z = mm(h, w_stack_ref[i])
-        h = jnp.sin(
+        h = sin_fn(
             gamma_ref[i + 1][None, :] * (z + b_stack_ref[i + 1][None, :]) + beta_ref[i + 1][None, :]
         )
     # sdf head reads the UNMODULATED backbone (models/siren.py geo_head)
@@ -84,7 +90,7 @@ def _siren_kernel(
     h = (alpha_ref[:] + 1.0) * h + lbeta_ref[:]
     # view-conditioned feature layer
     zv = mm(h, w_vh_ref[:]) + mm(dirs_ref[:], w_vd_ref[:]) + b_v_ref[0][None, :]
-    feat = jnp.sin(gamma_ref[depth][None, :] * zv + beta_ref[depth][None, :])
+    feat = sin_fn(gamma_ref[depth][None, :] * zv + beta_ref[depth][None, :])
     feat_ref[:] = feat
     # heads: rgb (cols 0..2) from feat, sdf (col 3) from the backbone
     rgb_sdf = mm(feat, w_heads_ref[:]) + b_heads_ref[0][None, :]
@@ -169,8 +175,9 @@ def siren_query_fused(
 ):
     """Fused field query for one batch item: returns (feat [N, W], rgb_sdf [N, 8]).
 
-    precision: 'highest' (exact f32 — default; the kernel is sin/VPU-bound so bf16
-    matmuls buy nothing) or 'bf16' (experimental)."""
+    precision: 'highest' (exact f32 + jnp.sin — default, golden-parity), 'serving'
+    (bf16 matmuls + fast_sin, matching the XLA bf16 serving field), or 'bf16'
+    (bf16 matmuls + jnp.sin, experimental)."""
     n = pts.shape[0]
     n_pad = _round_up(n, tile)
 

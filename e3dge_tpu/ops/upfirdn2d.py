@@ -22,27 +22,87 @@ differentiates through `conv_general_dilated` natively to any order).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def make_kernel(k) -> jnp.ndarray:
+def make_kernel(k) -> np.ndarray:
     """Build a normalized 2D FIR kernel from a 1D or 2D tap list.
 
     Mirrors `make_kernel` (reference `stylesdf_model.py:85-93`): 1D taps are outer-
     producted into 2D and the kernel is normalized to unit sum.
+
+    Returns a HOST (numpy) array on purpose: under jit, omnistaging would turn a
+    jnp kernel into a tracer, and upfirdn2d needs concrete taps to take the
+    shifted-add path (the depthwise-conv fallback pays TPU layout copies).
     """
-    k = jnp.asarray(k, dtype=jnp.float32)
+    k = np.asarray(k, dtype=np.float32)
     if k.ndim == 1:
         k = k[None, :] * k[:, None]
-    k = k / jnp.sum(k)
+    k = k / np.sum(k)
     return k
 
 
-@partial(jax.jit, static_argnames=("up", "down", "pad"))
+def _upfirdn2d_shifted(
+    x: jnp.ndarray,
+    kernel_np: np.ndarray,
+    up: tuple[int, int],
+    down: tuple[int, int],
+    pads: tuple[int, int, int, int],
+) -> jnp.ndarray:
+    """upfirdn2d as lax.pad (interior padding = zero-insert) + SHIFTED ADDS.
+
+    Why not a depthwise conv: on TPU the depthwise FIR emitter
+    (EmitDepthwiseInputBatchInSublanes) forces layout-conversion copies of the
+    LARGEST pyramid tensors on both sides of every 512^2/1024^2 blur — profiled
+    at 6-11 ms per copy, ~half the decoder fwd+bwd time (r3 xprof of the
+    isolated decoder; the r2 98 ms/step training 'data formatting' bill).
+    Expressing the FIR as slice-multiply-adds keeps everything in the producing
+    conv's native layout — no conv op, no relayout; XLA fuses each pass into one
+    loop fusion. Separable kernels (all StyleGAN2 FIRs — make_kernel outer-
+    products 1D taps) use two 1-D passes (8 MACs/elem for 4 taps vs 16).
+    """
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_x0, pad_x1, pad_y0, pad_y1 = pads
+    kh, kw = kernel_np.shape
+    kf = kernel_np[::-1, ::-1]  # true convolution == correlation with flipped taps
+
+    # zero-insert + edge pad/crop in ONE lax.pad (interior padding is native XLA);
+    # zero-insertion leaves up-1 trailing zeros that interior padding does not.
+    x = jax.lax.pad(
+        x,
+        jnp.asarray(0.0, x.dtype),
+        ((0, 0, 0), (0, 0, 0), (pad_y0, pad_y1 + up_y - 1, up_y - 1), (pad_x0, pad_x1 + up_x - 1, up_x - 1)),
+    )
+    h, w = x.shape[2], x.shape[3]
+    oh, ow = h - kh + 1, w - kw + 1
+
+    # separability probe (host-side: kernel taps are compile-time constants)
+    u, s, vt = np.linalg.svd(kf.astype(np.float64))
+    separable = kh > 1 and kw > 1 and s[1] < 1e-12 * s[0]
+    if separable:
+        col = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)   # H taps
+        row = (vt[0] * np.sqrt(s[0])).astype(np.float32)     # W taps
+        acc = None
+        for dy in range(kh):
+            t = jnp.asarray(col[dy], x.dtype) * x[:, :, dy : dy + oh, :]
+            acc = t if acc is None else acc + t
+        out = None
+        for dx in range(kw):
+            t = jnp.asarray(row[dx], x.dtype) * acc[:, :, :, dx : dx + ow]
+            out = t if out is None else out + t
+    else:
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                t = jnp.asarray(kf[dy, dx], x.dtype) * x[:, :, dy : dy + oh, dx : dx + ow]
+                out = t if out is None else out + t
+    return out[:, :, ::down_y, ::down_x]
+
+
 def upfirdn2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -68,11 +128,19 @@ def upfirdn2d(
     else:
         pad_x0, pad_x1, pad_y0, pad_y1 = pad
 
+    # Constant taps (every internal caller: make_kernel output) -> shifted-add
+    # path, which avoids the TPU depthwise-conv layout copies entirely.
+    if not isinstance(kernel, jax.core.Tracer):
+        return _upfirdn2d_shifted(
+            x, np.asarray(kernel, np.float64),
+            (up_y, up_x), (down_y, down_x), (pad_x0, pad_x1, pad_y0, pad_y1),
+        )
+
     b, c, h, w = x.shape
     kh, kw = kernel.shape
 
-    # True convolution == correlation with a flipped kernel. The FIR conv runs in
-    # the INPUT dtype (bf16 inputs stay bf16 — this op is HBM-bandwidth-bound).
+    # Fallback (traced kernel): true convolution == correlation with a flipped
+    # kernel, one depthwise lhs-dilated conv. Runs in the INPUT dtype.
     k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
     # Depthwise: one shared filter broadcast over channels.
     # Kernel layout HWIO with feature_group_count=C: [kh, kw, 1, C].

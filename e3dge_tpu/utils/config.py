@@ -60,6 +60,11 @@ class RendererConfig:
     # [B,H,W,S,width] hidden at full scale), so halving bytes halves render time.
     # Integration, z-sampling, and SDF-gradient paths (query_sdf/eikonal) stay f32.
     field_dtype: str = "float32"
+    # Occlusion-query (query_hit_prob) field dtype. The hit-prob re-integration is
+    # a stop-gradient weighting (reference cycle_runner.py:133-161 against a frozen
+    # generator), so it can run the bf16+fast_sin serving field even when training
+    # keeps field_dtype f32 for its fused-cos VJP. None -> follow field_dtype.
+    occlusion_field_dtype: str | None = None
     # Pallas fused field query on the inference path (ops/pallas/siren_kernel.py).
     # EXPERIMENTAL: parity-verified, but on v5e the XLA formulation currently wins
     # (0.22 ms vs 1.84 ms per 98k-point query) — keep False for production.
@@ -83,6 +88,11 @@ class DecoderConfig:
     in_res: int = 64             # == renderer out_im_res
     in_channels: int = 256       # == renderer width (feature map channels)
     project_noise: bool = False
+    # Space-to-depth tail: pyramid levels with output res >= this run in PHASE
+    # SPACE (half res, 4x channels — ops/space_to_depth.py): full MXU lanes for
+    # the 32/64-channel tail convs and none of the depthwise-blur layout copies.
+    # 0 disables. Numerics pinned vs the standard path by tests/test_s2d.py.
+    s2d_min_res: int = 0
 
     def channels(self) -> dict[int, int]:
         """StyleGAN2 channel table (reference stylesdf_model.py:614-624)."""

@@ -39,6 +39,21 @@ def test_fused_kernel_matches_flax():
     )
     np.testing.assert_allclose(np.asarray(feat_b), np.asarray(want[0, :, 4:]), atol=0.05)
 
+    # 'serving' (bf16 matmuls + fast_sin) vs the flax field run in bf16 — the
+    # SAME numerics class (FiLMSiren picks fast_sin for bf16 args); elementwise
+    # equality vs f32 is impossible here because the FiLM gain (~30) amplifies
+    # bf16 rounding into sin phase error, so bound the MEAN error like
+    # tests/test_precision.py does for the XLA bf16 field.
+    want16 = model.apply(
+        v, pts.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16), styles.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    feat_s, rgb_sdf_s = siren_query_fused(
+        pts[0], dirs[0], pack, gamma, beta, depth=depth, width=width, tile=128,
+        precision="serving",
+    )
+    err = np.abs(np.asarray(feat_s) - np.asarray(want16[0, :, 4:]))
+    assert err.mean() < 0.05, f"serving kernel drifted from the bf16 flax field: {err.mean():.4f}"
+
 
 def test_fused_kernel_with_sft_conditions():
     depth, width, style_dim = 2, 128, 8
