@@ -90,9 +90,12 @@ class DecoderConfig:
     project_noise: bool = False
     # Space-to-depth tail: pyramid levels with output res >= this run in PHASE
     # SPACE (half res, 4x channels — ops/space_to_depth.py): full MXU lanes for
-    # the 32/64-channel tail convs and none of the depthwise-blur layout copies.
+    # the 32-channel tail convs and none of the depthwise-blur layout copies.
     # 0 disables. Numerics pinned vs the standard path by tests/test_s2d.py.
-    s2d_min_res: int = 0
+    # Measured (isolated decoder, batch 4 bf16, v5e fwd+bwd): none 116.7 ms,
+    # @256 93.9, @512 88.2, @1024 85.6 -> default 1024 (the 512-level phase
+    # conv already costs slightly more than its copies).
+    s2d_min_res: int = 1024
 
     def channels(self) -> dict[int, int]:
         """StyleGAN2 channel table (reference stylesdf_model.py:614-624)."""

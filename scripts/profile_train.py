@@ -76,13 +76,75 @@ def build(cfg_kwargs, batch, dtype=None, perceptual=False):
     return cfg, model, variables, ml, state, step
 
 
+def build_cycle(batch, dtype="bfloat16", use_ref_view_weight=False, occlusion_dtype=None):
+    """Stage-2.2 cycle step at full scale (stage2_config) — times the E1 path and
+    the occlusion re-integration (reference cycle_runner.py:133-161)."""
+    import dataclasses
+
+    from __graft_entry__ import fast_init
+    from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
+    from e3dge_tpu.training.steps import (
+        STAGE22_TRAINABLE,
+        create_train_state,
+        make_cycle_step,
+        make_optimizer,
+    )
+    from e3dge_tpu.utils.config import _with, stage2_config
+
+    cfg = stage2_config()
+    if occlusion_dtype:
+        cfg = _with(cfg, renderer=dict(occlusion_field_dtype=occlusion_dtype)).validate()
+    if dtype:
+        cfg = dataclasses.replace(cfg, dtype=dtype)
+    model = E3DGE(cfg)
+    ml = LatentMeans(
+        renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
+        decoder=jnp.zeros((1, cfg.decoder.n_latent, cfg.decoder.style_dim)),
+    )
+    imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))
+    variables = fast_init(model, {"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs, ml)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(variables, STAGE22_TRAINABLE, tx)
+    lambdas = dict(l2_lambda=1.0, res_lambda=1.0)
+    step = jax.jit(
+        make_cycle_step(model, lambdas, tx, use_ref_view_weight=use_ref_view_weight),
+        static_argnums=(3,), donate_argnums=(0,),
+    )
+    return cfg, model, variables, ml, state, step
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="base,remat")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--pieces", action="store_true", help="also time sample/forward pieces")
+    ap.add_argument("--cycle", action="store_true",
+                    help="profile the stage-2.2 cycle step instead; variants: "
+                         "base / refweight / refweight_bf16occ")
     args = ap.parse_args()
+
+    if args.cycle:
+        cycle_cfgs = {
+            "base": dict(),
+            "refweight": dict(use_ref_view_weight=True),
+            "refweight_bf16occ": dict(use_ref_view_weight=True, occlusion_dtype="bfloat16"),
+        }
+        for name in args.variants.split(","):
+            cfg, model, variables, ml, state, step = build_cycle(args.batch, **cycle_cfgs[name])
+            key = jax.random.key(7)
+            st = state
+
+            def run():
+                nonlocal st, key
+                key, k = jax.random.split(key)
+                st, metrics = step(st, ml, k, args.batch)
+                return metrics["loss"]
+
+            ms = time_fn(run, lambda x: float(x), n=args.iters)
+            print(f"[cycle/{name}] stage-2.2 step batch={args.batch}: {ms:.1f} ms/step "
+                  f"({args.batch * 1000 / ms:.1f} img/s/chip)", flush=True)
+        return
 
     variant_cfgs = {
         "base": {},
