@@ -142,10 +142,10 @@ class Decoder(nn.Module):
                 out_ph = conv1(out, latent[:, i], noise=noise1, phase="enter")
                 out_ph = conv2(out_ph, latent[:, i + 1], noise=noise2, phase="inside")
                 skip_ph = to_rgb(out_ph, latent[:, i + 2], skip=skip, phase=True)
-                from e3dge_tpu.ops.space_to_depth import d2s
+                from e3dge_tpu.ops.space_to_depth import d2s_mxu
 
-                out = d2s(out_ph) if res < self.cfg.size else None
-                skip = d2s(skip_ph)
+                out = d2s_mxu(out_ph) if res < self.cfg.size else None
+                skip = d2s_mxu(skip_ph)
             else:
                 out = conv1(out, latent[:, i], noise=noise1)
                 out = conv2(out, latent[:, i + 1], noise=noise2)

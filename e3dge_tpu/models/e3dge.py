@@ -287,6 +287,12 @@ class E3DGE(nn.Module):
         # matmuls by weight columns (align.ResnetBlockFC), skipping two
         # [B,H,W,S,301] concat materializations
         local_feats = (fused, pe)  # logical [B,H,W,S, 256+45]
+        fdt = jnp.dtype(c.renderer.field_dtype)
+        if not train and fdt != jnp.float32:
+            # serving: the modulations feed the bf16 field (field_dtype boundary,
+            # volume_renderer.py) — run the [B,H,W,S,301] modulation MLP in the
+            # same dtype. Training keeps f32 (the field trains in f32).
+            local_feats = (fused.astype(fdt), pe.astype(fdt))
 
         # 6. modulations + final full-pipeline render on the SAME z_vals.
         # reuse_backbone (same-view only, e.g. image2image): the tex-only SFT

@@ -44,6 +44,30 @@ def d2s(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, c, 2 * h, 2 * w)
 
 
+def d2s_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """d2s as a one-hot stride-2 conv_transpose — bit-exact (each output taps
+    exactly one input through a 1.0 weight) but ~2.6x faster on v5e than the
+    reshape/transpose form, which Mosaic lowers to a pathological interleave
+    copy (measured on the serving shape [1,12,512,512]: 2.48 ms reshape form
+    vs 0.94 ms this form, r3 micro-bench). The MXU does the interleave in its
+    native layout; the auto-derived backward (mirrored stride-2 conv = s2d on
+    the MXU) also beats the s2d reshape form (1.49 vs 3.08 ms on the batch-4
+    training shape), so the fix pays in both directions — do NOT pair this with
+    a reshape-s2d custom_vjp (measured slower)."""
+    b, c4, h, w = x.shape
+    c = c4 // 4
+    wgt = np.zeros((c4, c, 2, 2), np.float32)
+    for a in (0, 1):
+        for b2 in (0, 1):
+            wgt[(2 * a + b2) * c : (2 * a + b2 + 1) * c, :, a, b2] = np.eye(c)
+    # conv_transpose stride 2 == lhs-dilated correlation with the flipped kernel
+    wf = jnp.asarray(wgt[:, :, ::-1, ::-1].transpose(2, 3, 0, 1), x.dtype)  # HWIO
+    return jax.lax.conv_general_dilated(
+        x, wf, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+
+
 def conv_transpose2x_blur_phase_kernel(weight: jnp.ndarray, fir: np.ndarray, gain: float = 4.0):
     """Phased kernel for conv_transpose(stride 2, k=3) + FIR blur, output in
     phase space: returns HWIO [3, 3, I, 4O] for a stride-1 conv with padding 1

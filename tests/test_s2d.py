@@ -33,6 +33,22 @@ def test_s2d_roundtrip_and_order():
     np.testing.assert_array_equal(np.asarray(ph[0, 1 * 3 + 2, 1, 1]), np.asarray(x[0, 2, 2, 3]))
 
 
+def test_d2s_mxu_bit_exact():
+    from e3dge_tpu.ops.space_to_depth import d2s_mxu
+
+    key = jax.random.key(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        ph = jax.random.normal(key, (2, 12, 4, 4), jnp.float32).astype(dtype)
+        np.testing.assert_array_equal(
+            np.asarray(d2s_mxu(ph), np.float32), np.asarray(d2s(ph), np.float32)
+        )
+    # gradient matches the reshape reference exactly (one-hot conv transpose)
+    ph = jax.random.normal(key, (1, 8, 4, 4), jnp.float32)
+    g_fast = jax.grad(lambda z: jnp.sum(jnp.sin(d2s_mxu(z))))(ph)
+    g_ref = jax.grad(lambda z: jnp.sum(jnp.sin(d2s(z))))(ph)
+    np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
+
+
 def test_conv3x3_phase_matches_full_res():
     o, i = 5, 4
     w = jax.random.normal(jax.random.key(0), (o, i, 3, 3))
