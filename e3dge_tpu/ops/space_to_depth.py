@@ -152,9 +152,25 @@ def upsample2x_phases(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=1)  # phase-major [B, 4C, H, W]
 
 
+def s2d_strided(x: jnp.ndarray) -> jnp.ndarray:
+    """s2d as a one-hot stride-2 conv — same trick as d2s_mxu (the reshape form
+    lowers to an interleave copy; xprof showed it as the two 0.38 ms hot
+    reshapes at the serving noise split). Bit-exact: each output taps one input
+    through a 1.0 weight."""
+    b, c, h2, w2 = x.shape
+    wgt = np.zeros((4 * c, c, 2, 2), np.float32)
+    for a in (0, 1):
+        for b2 in (0, 1):
+            wgt[(2 * a + b2) * c : (2 * a + b2 + 1) * c, :, a, b2] = np.eye(c)
+    wf = jnp.asarray(wgt.transpose(2, 3, 1, 0), x.dtype)  # HWIO
+    return jax.lax.conv_general_dilated(
+        x, wf, (2, 2), ((0, 0), (0, 0)), dimension_numbers=("NCHW", "HWIO", "NCHW")
+    )
+
+
 def s2d_noise(noise: jnp.ndarray, channels: int) -> jnp.ndarray:
     """[B, 1, 2H, 2W] per-layer decoder noise -> [B, 4*channels, H, W]: phase
     split then repeated per channel so index (2a+b)*C + c carries noise(2i+a,
     2j+b) — aligned with the phase-major image channel order."""
-    ph = s2d(noise)  # [B, 4, H, W]
+    ph = s2d_strided(noise)  # [B, 4, H, W]
     return jnp.repeat(ph, channels, axis=1)  # channel idx = phase*C + c

@@ -49,6 +49,19 @@ def test_d2s_mxu_bit_exact():
     np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
 
 
+def test_s2d_strided_bit_exact():
+    from e3dge_tpu.ops.space_to_depth import s2d_strided
+
+    key = jax.random.key(5)
+    for c in (1, 3):
+        x = jax.random.normal(key, (2, c, 8, 6), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(s2d_strided(x)), np.asarray(s2d(x)))
+        xb = x.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(s2d_strided(xb), np.float32), np.asarray(s2d(xb), np.float32)
+        )
+
+
 def test_conv3x3_phase_matches_full_res():
     o, i = 5, 4
     w = jax.random.normal(jax.random.key(0), (o, i, 3, 3))
