@@ -113,6 +113,7 @@ class Decoder(nn.Module):
         noise: Sequence[jnp.ndarray | None] | None = None,
         conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None,
         return_latents: bool = False,
+        train: bool = False,
     ):
         if isinstance(styles, jnp.ndarray):
             styles = [styles]
@@ -142,10 +143,14 @@ class Decoder(nn.Module):
                 out_ph = conv1(out, latent[:, i], noise=noise1, phase="enter")
                 out_ph = conv2(out_ph, latent[:, i + 1], noise=noise2, phase="inside")
                 skip_ph = to_rgb(out_ph, latent[:, i + 2], skip=skip, phase=True)
-                from e3dge_tpu.ops.space_to_depth import d2s_mxu
+                from e3dge_tpu.ops.space_to_depth import d2s, d2s_mxu
 
-                out = d2s_mxu(out_ph) if res < self.cfg.size else None
-                skip = d2s_mxu(skip_ph)
+                # context-dependent d2s: serving wants the one-hot conv form;
+                # under autodiff the reshape form's backward fuses away and wins
+                # (measured, see ops/space_to_depth.d2s_mxu docstring)
+                d2s_impl = d2s if train else d2s_mxu
+                out = d2s_impl(out_ph) if res < self.cfg.size else None
+                skip = d2s_impl(skip_ph)
             else:
                 out = conv1(out, latent[:, i], noise=noise1)
                 out = conv2(out, latent[:, i + 1], noise=noise2)

@@ -123,7 +123,7 @@ class Generator(nn.Module):
             return render_out
         return self._decode_into(
             render_out, encoder_latent, decoder_latent, truncation, truncation_latent,
-            input_is_latent, noise, conditions,
+            input_is_latent, noise, conditions, train=train,
         )
 
     def _decode_into(
@@ -136,6 +136,7 @@ class Generator(nn.Module):
         input_is_latent: bool = True,
         noise: Sequence | None = None,
         conditions: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        train: bool = False,
     ) -> dict[str, Any]:
         dec_styles = [encoder_latent] if decoder_latent is None else [decoder_latent]
         dec_trunc = truncation_latent[1] if (truncation < 1.0 and truncation_latent is not None) else None
@@ -151,6 +152,7 @@ class Generator(nn.Module):
             noise=noise,
             conditions=conditions,
             return_latents=True,
+            train=train,
         )
         render_out["gen_imgs"] = gen_imgs.astype(jnp.float32)
         render_out["decoder_latent"] = out_latent

@@ -50,10 +50,14 @@ def d2s_mxu(x: jnp.ndarray) -> jnp.ndarray:
     reshape/transpose form, which Mosaic lowers to a pathological interleave
     copy (measured on the serving shape [1,12,512,512]: 2.48 ms reshape form
     vs 0.94 ms this form, r3 micro-bench). The MXU does the interleave in its
-    native layout; the auto-derived backward (mirrored stride-2 conv = s2d on
-    the MXU) also beats the s2d reshape form (1.49 vs 3.08 ms on the batch-4
-    training shape), so the fix pays in both directions — do NOT pair this with
-    a reshape-s2d custom_vjp (measured slower)."""
+    native layout.
+
+    SERVING-ONLY: in the isolated op micro-bench the conv form wins both
+    directions, but in the full decoder fwd+bwd the reshape form's backward
+    fuses into the surrounding fusions while the conv backward stays a
+    standalone convolution — decoder fwd+bwd measured 84.6 ms (reshape), 87.1
+    (this form), 88.5 (custom_vjp conv-fwd/reshape-bwd hybrid). The decoder
+    therefore picks d2s_mxu only when train=False; see models/decoder.py."""
     b, c4, h, w = x.shape
     c = c4 // 4
     wgt = np.zeros((c4, c, 2, 2), np.float32)

@@ -67,7 +67,9 @@ def main():
     # but the loss backprops THROUGH the decoder to the feature map + latents
     # (trainer.py:1568-1680 grad plumbing)
     def loss(v, f, l):
-        img, _ = dec.apply(v, f, l, input_is_latent=True, rngs={"noise": jax.random.key(4)})
+        # train=True: the decoder picks its training-context d2s form
+        img, _ = dec.apply(v, f, l, input_is_latent=True, train=True,
+                           rngs={"noise": jax.random.key(4)})
         return jnp.sum(img.astype(jnp.float32) ** 2)
 
     bwd = jax.grad(loss, argnums=(1, 2))
