@@ -51,10 +51,14 @@ class ResnetBlockFC(nn.Module):
             return std * jax.random.normal(key, shape)
 
         w0_init = nn.initializers.zeros if self.zero_init else kaiming
-        w0 = self.param("fc_0_weight", w0_init, (size_h, size_in))
-        b0 = self.param("fc_0_bias", nn.initializers.zeros, (size_h,))
-        w1 = self.param("fc_1_weight", nn.initializers.zeros, (self.size_out, size_h))
-        b1 = self.param("fc_1_bias", nn.initializers.zeros, (self.size_out,))
+        # like every layer in models/layers.py, compute in the INPUT dtype
+        # (f32 master params cast at use): the bf16 serving fusion path stays
+        # bf16 end-to-end, f32 training inputs reproduce the old numerics
+        dt = parts[0].dtype
+        w0 = self.param("fc_0_weight", w0_init, (size_h, size_in)).astype(dt)
+        b0 = self.param("fc_0_bias", nn.initializers.zeros, (size_h,)).astype(dt)
+        w1 = self.param("fc_1_weight", nn.initializers.zeros, (self.size_out, size_h)).astype(dt)
+        b1 = self.param("fc_1_bias", nn.initializers.zeros, (self.size_out,)).astype(dt)
 
         def split_matmul(w, pre=None):
             acc, col = None, 0
@@ -72,7 +76,7 @@ class ResnetBlockFC(nn.Module):
             xs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         else:
             ws_init = nn.initializers.zeros if self.zero_init else kaiming
-            ws = self.param("shortcut_weight", ws_init, (self.size_out, size_in))
+            ws = self.param("shortcut_weight", ws_init, (self.size_out, size_in)).astype(dt)
             xs = split_matmul(ws)
         return xs + dx
 
@@ -91,9 +95,10 @@ class FuseSftMLP(nn.Module):
         )
 
         def mlp(x, name):
-            x = nn.Dense(self.out_ch, name=f"{name}_0")(x)
+            # dtype follows the input (f32 master params cast at use)
+            x = nn.Dense(self.out_ch, dtype=x.dtype, name=f"{name}_0")(x)
             x = jnp.where(x >= 0, x, 0.2 * x)
-            return nn.Dense(self.out_ch, name=f"{name}_2")(x)
+            return nn.Dense(self.out_ch, dtype=x.dtype, name=f"{name}_2")(x)
 
         scale = mlp(h, "scale")
         shift = mlp(h, "shift")

@@ -280,19 +280,26 @@ class E3DGE(nn.Module):
         feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 
         # 5. SFT fusion of (2D feats + vis mask) into 3D-projected feats, + PE
+        fdt = jnp.dtype(c.renderer.field_dtype)
+        if not train and fdt != jnp.float32:
+            # serving: the whole fusion path feeds the bf16 field — keep the
+            # [B,H,W,S,257] tensors in field_dtype (the f32 vis-mask concat
+            # otherwise promotes everything back to f32; the fusion MLPs follow
+            # their input dtype, align.py). Training keeps f32 modulations.
+            feature_2d = feature_2d.astype(fdt)
+            feature_3d = feature_3d.astype(fdt)
+            vis_mask = vis_mask.astype(fdt)
         feature_2d = jnp.concatenate([feature_2d, vis_mask], axis=-1)
         fused = self.fuse_sft_block(feature_2d, feature_3d, w=fusion_weight)
         pe = pos_encoding(que_pts, n_freqs=7)
         # tuple = unmaterialized concat: the modulation MLP splits its input
         # matmuls by weight columns (align.ResnetBlockFC), skipping two
         # [B,H,W,S,301] concat materializations
-        local_feats = (fused, pe)  # logical [B,H,W,S, 256+45]
-        fdt = jnp.dtype(c.renderer.field_dtype)
         if not train and fdt != jnp.float32:
-            # serving: the modulations feed the bf16 field (field_dtype boundary,
-            # volume_renderer.py) — run the [B,H,W,S,301] modulation MLP in the
-            # same dtype. Training keeps f32 (the field trains in f32).
-            local_feats = (fused.astype(fdt), pe.astype(fdt))
+            # the modulation MLP also runs in field_dtype at serving time
+            # (volume_renderer casts its own inputs at the field boundary)
+            pe = pe.astype(fdt)
+        local_feats = (fused, pe)  # logical [B,H,W,S, 256+45]
 
         # 6. modulations + final full-pipeline render on the SAME z_vals.
         # reuse_backbone (same-view only, e.g. image2image): the tex-only SFT
