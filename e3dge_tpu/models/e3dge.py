@@ -24,6 +24,7 @@ from typing import Any, NamedTuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e3dge_tpu.models.align import FuseSftMLP, ResidualAligner
 from e3dge_tpu.models.discriminator import VolumeRenderDiscriminator
@@ -43,13 +44,27 @@ class LatentMeans(NamedTuple):
 
 
 def adaptive_avg_pool(x: jnp.ndarray, out: int) -> jnp.ndarray:
-    """AdaptiveAvgPool2d for divisible sizes (the only case the pipeline hits)."""
+    """AdaptiveAvgPool2d for divisible sizes (the only case the pipeline hits).
+
+    Downsampling is two separable averaging matmuls on the MXU rather than the
+    reshape-mean form: at 3-channel NCHW the reshape+reduce lowers to a
+    pathological minor-dim reduction (r3 train-step xprof: 4.6 ms/step for the
+    [4,3,1024,1024] -> 256 pool in image2latents alone). HIGHEST matmul
+    precision keeps f32-grade numerics on the f32 image path (the averaging
+    matrix is exact; inputs are not bf16-rounded)."""
     b, c, h, w = x.shape
     if h == out:
         return x
     if h > out:
         f = h // out
-        return x.reshape(b, c, out, f, out, f).mean(axis=(3, 5))
+        P = jnp.asarray(np.kron(np.eye(out), np.full((f, 1), 1.0 / f)), x.dtype)  # [h, out]
+        y = jax.lax.dot_general(
+            x, P, (((3,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+        )  # [b, c, h, out] (w contracted)
+        y = jax.lax.dot_general(
+            y, P, (((2,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+        )  # [b, c, out_w, out_h]
+        return jnp.swapaxes(y, 2, 3)
     f = out // h
     return jnp.repeat(jnp.repeat(x, f, axis=2), f, axis=3)
 
