@@ -65,14 +65,30 @@ class VolumeFeatureRenderer(nn.Module):
     ) -> jnp.ndarray:
         """Query the field at world points: concat([rgb, sdf, features]).
 
+        The network sees FLATTENED [B, N, C] tensors: the decoder side of the
+        program wants spatial-minor (NCHW) layouts and XLA propagates that
+        layout into 5-D [B,H,W,S,C] field tensors, forcing a relayout copy at
+        every FiLM dot in the f32 training graph (r3 xprof: ~15 ms/step).
+        Merging H,W,S into one axis leaves XLA a single layout choice, with at
+        most one boundary reshape at each end.
+
         cfg.remat_field recomputes the field in the backward pass (jax.checkpoint)
         instead of storing the [B,H,W,S,width+4] activations — HBM for FLOPs."""
+        shp = pts.shape
+
+        def flat(t):
+            return t.reshape(shp[0], -1, t.shape[-1])
+
+        p, v = flat(self._warp(pts)), flat(viewdirs)
+        cond = None if conditions is None else (flat(conditions[0]), flat(conditions[1]))
         if self.cfg.remat_field:
             def f(network, p, v, s, c):
                 return network(p, v, s, c)
 
-            return nn.remat(f)(self.network, self._warp(pts), viewdirs, styles, conditions)
-        return self.network(self._warp(pts), viewdirs, styles, conditions)
+            out = nn.remat(f)(self.network, p, v, styles, cond)
+        else:
+            out = self.network(p, v, styles, cond)
+        return out.reshape(*shp[:-1], out.shape[-1])
 
     def query_sdf(self, pts: jnp.ndarray, styles: jnp.ndarray) -> jnp.ndarray:
         """SDF-only query (geo branch), for eikonal grads / mesh extraction /
