@@ -445,7 +445,10 @@ class E3DGE(nn.Module):
         elev = cc.elev_mean + pose_scale * cc.elev_range * jax.random.normal(ke, (batch_size,))
         cam = camera_params_from_angles(azim, elev, c.renderer.out_im_res, cc.fov_ang, cc.dist_radius)
 
-        render_out = self.generator([z], cam, key=kr, input_is_latent=False, renderer_only=renderer_only)
+        render_out = self.generator(
+            [z], cam, key=kr, input_is_latent=False, renderer_only=renderer_only,
+            field_dtype=c.renderer.sample_field_dtype,
+        )
         w = render_out["styles"]  # [B, style_dim] mapped latent (the latent_gt target)
 
         near_pts, near_sdf, near_valid = self.generator.renderer.sample_near_surface_grid(

@@ -84,6 +84,7 @@ class Generator(nn.Module):
         z_vals: jnp.ndarray | None = None,
         no_force_stop: bool = False,
         return_raw_h: bool = False,
+        field_dtype: str | None = None,
     ) -> dict[str, Any]:
         """E3DGE generator forward (G_pred_latents.forward, stylesdf_model.py:1034-1172).
 
@@ -116,6 +117,7 @@ class Generator(nn.Module):
             z_vals=z_vals,
             no_force_stop=no_force_stop,
             return_raw_h=return_raw_h,
+            field_dtype=field_dtype,
         )
         render_out["styles"] = encoder_latent
         if renderer_only or not self.full_pipeline:

@@ -151,6 +151,7 @@ class VolumeFeatureRenderer(nn.Module):
         no_force_stop: bool = False,
         z_vals: jnp.ndarray | None = None,
         return_raw_h: bool = False,
+        field_dtype: str | None = None,
     ) -> dict[str, Any]:
         """Render a batch of views.
 
@@ -191,7 +192,7 @@ class VolumeFeatureRenderer(nn.Module):
         # field_dtype boundary: the SIREN query runs in bf16 when configured (the
         # field is HBM-pass-bound; see RendererConfig.field_dtype), while ray
         # geometry above and integration below stay f32.
-        fdt = jnp.dtype(c.field_dtype)
+        fdt = jnp.dtype(field_dtype or c.field_dtype)
         q_pts, q_dirs, q_styles = pts.astype(fdt), dirs.astype(fdt), styles.astype(fdt)
         raw_h = None
         if c.fused_inference and not train:

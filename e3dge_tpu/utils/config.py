@@ -65,6 +65,15 @@ class RendererConfig:
     # generator), so it can run the bf16+fast_sin serving field even when training
     # keeps field_dtype f32 for its fused-cos VJP. None -> follow field_dtype.
     occlusion_field_dtype: str | None = None
+    # Field dtype for the FROZEN-teacher target rendering in synthetic_sample
+    # (DATASETGAN_3D). The sampling pass is stop-gradient data generation, so it
+    # can use the bf16+fast_sin serving field even when the differentiated
+    # render keeps field_dtype f32 (r3 xprof: the f32 sample field was ~25
+    # ms/step of un-fused VPU sin + relayouts at batch 4). The 3D SDF grid
+    # targets (near-surface/uniform) always stay f32 — they come from
+    # query_sdf. Set "float32" (scripts/train.py --sample-field-dtype) for
+    # bit-level reference numerics.
+    sample_field_dtype: str = "bfloat16"
     # Pallas fused field query on the inference path (ops/pallas/siren_kernel.py).
     # EXPERIMENTAL: parity-verified, but on v5e the XLA formulation currently wins
     # (0.22 ms vs 1.84 ms per 98k-point query) — keep False for production.

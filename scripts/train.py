@@ -108,6 +108,11 @@ def main():
     ap.add_argument("--occlusion-dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="field dtype for the stop-gradient occlusion re-integration "
                          "(bf16+fast_sin serving path; the training field itself stays f32)")
+    ap.add_argument("--sample-field-dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                    help="field dtype for the frozen-teacher target rendering in "
+                         "synthetic_sample (stop-gradient data generation; float32 "
+                         "reproduces reference-exact targets; 3D SDF grid targets "
+                         "are always f32)")
     ap.add_argument("--hit-prob-consistency-lambda", type=float, default=0.0)
     ap.add_argument("--depth-lambda", type=float, default=0.0)
     ap.add_argument("--res-lambda", type=float, default=1.0)
@@ -152,6 +157,8 @@ def main():
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
     if args.use_ref_view_weight and args.occlusion_dtype != "float32":
         cfg = C._with(cfg, renderer=dict(occlusion_field_dtype=args.occlusion_dtype))
+    if args.sample_field_dtype != cfg.renderer.sample_field_dtype:
+        cfg = C._with(cfg, renderer=dict(sample_field_dtype=args.sample_field_dtype))
 
     model = E3DGE(cfg)
     imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))

@@ -93,6 +93,26 @@ def test_synthetic_sample(tiny_test_setup):
     assert np.abs(np.asarray(batch["uniform_sdf"])).max() < 10.0
 
 
+def test_synthetic_sample_field_dtype_tolerance(tiny_test_setup):
+    """sample_field_dtype=bf16 (default teacher mode) stays close to the f32
+    reference targets; the 3D uniform-grid SDF targets are f32-exact since they
+    come from query_sdf, not the sampled render."""
+    from e3dge_tpu.utils import config as C
+
+    cfg, model, v, ml = tiny_test_setup
+    assert cfg.renderer.sample_field_dtype == "bfloat16"
+    model32 = E3DGE(C._with(cfg, renderer=dict(sample_field_dtype="float32")))
+    kw = dict(method=E3DGE.synthetic_sample, rngs={"noise": jax.random.key(3)})
+    b16 = model.apply(v, jax.random.key(2), 2, 1.0, True, **kw)
+    b32 = model32.apply(v, jax.random.key(2), 2, 1.0, True, **kw)
+    img_diff = np.abs(np.asarray(b16["images"] - b32["images"]))
+    assert img_diff.max() < 0.3 and img_diff.mean() < 0.03
+    assert np.abs(np.asarray(b16["sdf"] - b32["sdf"])).max() < 0.05
+    np.testing.assert_array_equal(
+        np.asarray(b16["uniform_sdf"]), np.asarray(b32["uniform_sdf"])
+    )
+
+
 def test_stage1_step_updates_encoder_only(tiny_test_setup):
     cfg, model, v, ml = tiny_test_setup
 
