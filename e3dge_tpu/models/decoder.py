@@ -124,7 +124,11 @@ class Decoder(nn.Module):
         out = self.conv1(features, latent[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latent[:, 1], skip=rgbd_in)
 
-        s2d_min = self.cfg.s2d_min_res
+        # forward-only callers get the eval threshold (see DecoderConfig notes;
+        # both thresholds are exact — the phase path is a re-bracketing)
+        s2d_min = self.cfg.s2d_min_res if train else (
+            getattr(self.cfg, "s2d_min_res_eval", 0) or self.cfg.s2d_min_res
+        )
         i = 1
         res = self.cfg.in_res
         for conv1, conv2, noise1, noise2, to_rgb in zip(

@@ -105,6 +105,12 @@ class DecoderConfig:
     # @256 93.9, @512 88.2, @1024 85.6 -> default 1024 (the 512-level phase
     # conv already costs slightly more than its copies).
     s2d_min_res: int = 1024
+    # Forward-only (serving / frozen-teacher sampling) threshold: with the
+    # one-hot-conv d2s the 512-level phase conv wins forward (fwd 35.1 @512 vs
+    # 36.8 @1024, r3 re-sweep) while backward still prefers @1024 — the decoder
+    # picks by its static `train` flag. 0 -> follow s2d_min_res. The full-scale
+    # presets set 512; tests/tiny configs follow s2d_min_res unchanged.
+    s2d_min_res_eval: int = 0
 
     def channels(self) -> dict[int, int]:
         """StyleGAN2 channel table (reference stylesdf_model.py:614-624)."""
@@ -228,7 +234,9 @@ def _with(cfg: E3DGEConfig, **groups) -> E3DGEConfig:
 
 
 def default_config() -> E3DGEConfig:
-    return E3DGEConfig().validate()
+    # full scale: forward-only decoder calls use the @512 phase threshold
+    # (see DecoderConfig.s2d_min_res_eval)
+    return _with(E3DGEConfig(), decoder=dict(s2d_min_res_eval=512)).validate()
 
 
 def demo_view_synthesis_config() -> E3DGEConfig:

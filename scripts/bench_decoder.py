@@ -46,7 +46,7 @@ def main():
     from e3dge_tpu.models.decoder import Decoder
     from e3dge_tpu.utils.config import DecoderConfig
 
-    cfg = DecoderConfig(size=args.size, s2d_min_res=args.s2d)
+    cfg = DecoderConfig(size=args.size, s2d_min_res=args.s2d, s2d_min_res_eval=args.s2d)
     dec = Decoder(cfg)
     dt = jnp.dtype(args.dtype)
     b = args.batch

@@ -121,6 +121,14 @@ def test_decoder_s2d_tail_matches_standard():
     got, _ = dec_ph.apply(v, feats, styles, input_is_latent=True, rngs={"noise": jax.random.key(4)})
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
+    # the forward-only eval threshold (s2d_min_res_eval) is a pure re-bracketing
+    # too: train calls keep s2d_min_res, eval calls use the eval threshold
+    dec_ev = Decoder(dataclasses.replace(cfg, s2d_min_res=64, s2d_min_res_eval=32))
+    got_ev, _ = dec_ev.apply(v, feats, styles, input_is_latent=True, rngs={"noise": jax.random.key(4)})
+    np.testing.assert_allclose(np.asarray(got_ev), np.asarray(want), atol=2e-4)
+    got_tr, _ = dec_ev.apply(v, feats, styles, input_is_latent=True, train=True, rngs={"noise": jax.random.key(4)})
+    np.testing.assert_allclose(np.asarray(got_tr), np.asarray(want), atol=2e-4)
+
 
 def test_s2d_noise_alignment():
     noise = jax.random.normal(jax.random.key(3), (2, 1, 8, 8))
