@@ -92,6 +92,28 @@ def test_full_inversion_jits(full_pipeline):
     assert img.shape == (2, 3, cfg.decoder.size, cfg.decoder.size)
 
 
+def test_image2image_dp_mesh_matches_single_device(full_pipeline):
+    """SERVING scale-out: the full-pipeline inversion jitted over a 2-device dp
+    mesh (batch sharded, params replicated) reproduces the single-device
+    outputs — the multi-chip serving story is the same GSPMD program as
+    training's (parallel/mesh.py), no per-device code."""
+    from e3dge_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg, model, v, images, ml = full_pipeline
+
+    def fwd(v, images, ml):
+        out = model.apply(v, images, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(0)})
+        return out["res_render_out"]["gen_imgs"]
+
+    want = jax.jit(fwd)(v, images, ml)
+
+    mesh = make_mesh(2)
+    v_r, ml_r = replicate(v, mesh), replicate(ml, mesh)
+    imgs_s = shard_batch({"x": images}, mesh)["x"]
+    got = jax.jit(fwd)(v_r, imgs_s, ml_r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_zero_init_modulations_match_global_render(full_pipeline):
     """At init the SFT modulations are exact no-ops, so the E1-conditioned render must
     equal the unconditioned full-pipeline render (same z_vals, same noise)."""
