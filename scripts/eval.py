@@ -17,6 +17,10 @@ from pathlib import Path as _P
 sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # repo root
 from pathlib import Path
 
+from e3dge_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()  # E3DGE_PLATFORM=cpu rescues runs when the TPU relay is down
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +43,13 @@ def main():
     ap.add_argument("--no-perceptual", action="store_true",
                     help="skip LPIPS/ID metric nets (faster; scores lack those columns)")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="conv-stack activation dtype. float32 (default) reproduces "
+                         "reference-exact metrics; bfloat16 is the fast serving mode "
+                         "(~1.7x on v5e, bf16-tolerance outputs — tests/test_precision.py)")
+    ap.add_argument("--field-dtype", default=None, choices=["float32", "bfloat16"],
+                    help="SIREN field dtype (bf16+fast_sin serving path); "
+                         "default follows --dtype")
     args = ap.parse_args()
 
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
@@ -48,6 +59,13 @@ def main():
     from e3dge_tpu.utils.mesh import save_obj
 
     cfg = C.tiny_full_config() if args.tiny else C.demo_view_synthesis_config()
+    if args.dtype != "float32":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    fdt = args.field_dtype or args.dtype
+    if fdt != "float32":
+        cfg = C._with(cfg, renderer=dict(field_dtype=fdt))
     model = E3DGE(cfg)
     imgs0 = jnp.zeros((1, 3, cfg.pifu.load_size, cfg.pifu.load_size))
     ml = LatentMeans(

@@ -40,6 +40,10 @@ sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # repo root
 import time
 from pathlib import Path
 
+from e3dge_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()  # E3DGE_PLATFORM=cpu rescues runs when the TPU relay is down
+
 import jax
 import jax.numpy as jnp
 import numpy as np
