@@ -73,7 +73,41 @@ def bench_train_step() -> dict | None:
     }
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Bound backend init: the axon relay has been observed to drop for hours,
+    and jax.devices() then hangs indefinitely. Probe it in a daemon thread and
+    emit a machine-readable error line instead of hanging the driver."""
+    import sys
+    import threading
+
+    box = []
+
+    def probe():
+        try:
+            box.append(jax.devices())
+        except Exception as e:  # backend init failed outright
+            box.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box or isinstance(box[0], Exception):
+        detail = repr(box[0])[:160] if box else f"backend init hung >{timeout_s:.0f}s"
+        print(
+            json.dumps(
+                {
+                    "metric": "single-image inversion+render throughput (full E1 pipeline, 1024^2 out)",
+                    "value": None,
+                    "unit": "inversions/sec/chip",
+                    "error": f"TPU backend unavailable: {detail}",
+                }
+            )
+        )
+        sys.exit(1)
+
+
 def main():
+    _require_device()
     from __graft_entry__ import entry
 
     fn, args = entry()
