@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--grad", action="store_true",
+                    help="also time the training backward (plain vs remat policies)")
     args = ap.parse_args()
 
     from e3dge_tpu.models.siren import SirenGenerator
@@ -63,6 +65,30 @@ def main():
     p16, d16, s16 = pts.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16), styles.astype(jnp.bfloat16)
     xla16 = jax.jit(lambda: model.apply(v, p16, d16, s16))
     results["xla_bf16_ms"] = round(timed(xla16, lambda o: o.astype(jnp.float32).sum()), 3)
+
+    if args.grad:
+        # training formulation: grads flow THROUGH the frozen field to styles
+        # (stage-1: encoder latents). Compare the stored-activation backward
+        # against rematerialization policies — the f32 field backward is the
+        # widest band of the r3 train step (COMPONENTS.md round-4 candidates).
+        def fwd(s):
+            return model.apply(v, pts, dirs, s).sum()
+
+        variants = {
+            "grad_f32_ms": jax.grad(fwd),
+            "grad_f32_remat_ms": jax.grad(
+                lambda s: jax.checkpoint(lambda q: model.apply(v, pts, dirs, q))(s).sum()
+            ),
+            "grad_f32_save_dots_ms": jax.grad(
+                lambda s: jax.checkpoint(
+                    lambda q: model.apply(v, pts, dirs, q),
+                    policy=jax.checkpoint_policies.dots_saveable,
+                )(s).sum()
+            ),
+        }
+        for name, g in variants.items():
+            jg = jax.jit(g)
+            results[name] = round(timed(lambda: jg(styles), lambda o: o.sum()), 3)
 
     pack = pack_siren_params(v["params"], depth=d, width=w)
     gamma, beta = film_vectors(v["params"], styles[0], depth=d)
