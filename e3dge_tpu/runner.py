@@ -432,15 +432,22 @@ class Runner:
     def _per_image_metrics(self, pred: jnp.ndarray, gt: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """Per-image L2/MAE/PSNR/SSIM (+LPIPS/ID when nets provided) — the six
         reference validation metrics (trainer.py:423-429, builder.py:130-186).
-        Per-image so padded eval batches can be masked exactly."""
+        Per-image so padded eval batches can be masked exactly.
+
+        mae/ssim use the REFERENCE's printed conventions (L1 on raw [-1,1];
+        (1+SSIM)/2 window-5 kornia form, builder.py:171-182) so scores.json is
+        directly comparable to the Table-1/notebook anchors; standard forms are
+        kept under mae_std/ssim_std."""
         pred01 = (pred + 1.0) / 2.0
         gt01 = (gt + 1.0) / 2.0
         axes = (1, 2, 3)
         m = {
             "loss_l2": jnp.mean((pred - gt) ** 2, axis=axes),
-            "mae": jnp.mean(jnp.abs(pred01 - gt01), axis=axes),
+            "mae": L.mae_ref(pred, gt, per_sample=True),
+            "mae_std": jnp.mean(jnp.abs(pred01 - gt01), axis=axes),
             "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(jnp.mean((pred01 - gt01) ** 2, axis=axes), 1e-12)),
-            "ssim": L.ssim(pred01, gt01, per_sample=True),
+            "ssim": L.ssim_ref(pred, gt, per_sample=True),
+            "ssim_std": L.ssim(pred01, gt01, per_sample=True),
         }
         if self.lpips_fn is not None:
             m["loss_lpips"] = self.lpips_fn(pred, gt, per_sample=True)

@@ -50,12 +50,19 @@ def _gaussian_kernel(window: int = 11, sigma: float = 1.5):
     return g[:, None] * g[None, :]
 
 
-def ssim(pred, target, max_val: float = 1.0, window: int = 11, per_sample: bool = False):
-    """Mean SSIM over NCHW batches (kornia ssim(window=5 in reference eval uses 11
-    default; we follow the standard 11x1.5 gaussian)."""
+def _ssim_map(pred, target, max_val: float, window: int, padding: str):
+    """SSIM map over NCHW batches: gaussian(sigma=1.5) local stats.
+
+    padding="valid" is the standard scikit/Wang form; padding="same" reflect-pads
+    first (kornia filter2d's default border, what the reference metrics see)."""
     k = _gaussian_kernel(window).reshape(window, window, 1, 1)
     c = pred.shape[1]
     k = jnp.tile(k, (1, 1, 1, c))
+    if padding == "same":
+        p = window // 2
+        pad_cfg = ((0, 0), (0, 0), (p, p), (p, p))
+        pred = jnp.pad(pred, pad_cfg, mode="reflect")
+        target = jnp.pad(target, pad_cfg, mode="reflect")
 
     def filt(x):
         return jax.lax.conv_general_dilated(
@@ -71,9 +78,38 @@ def ssim(pred, target, max_val: float = 1.0, window: int = 11, per_sample: bool 
     s_pt = filt(pred * target) - mu_pt
     num = (2 * mu_pt + c1) * (2 * s_pt + c2)
     den = (mu_p2 + mu_t2 + c1) * (s_p + s_t + c2)
+    return num / den
+
+
+def ssim(pred, target, max_val: float = 1.0, window: int = 11, per_sample: bool = False):
+    """Standard mean SSIM (11x1.5 gaussian, valid padding) on [0,1] inputs.
+    Reported under *_std keys; the reference-convention metric is ssim_ref."""
+    m = _ssim_map(pred, target, max_val, window, "valid")
     if per_sample:
-        return jnp.mean(num / den, axis=(1, 2, 3))
-    return jnp.mean(num / den)
+        return jnp.mean(m, axis=(1, 2, 3))
+    return jnp.mean(m)
+
+
+def ssim_ref(pred, target, window: int = 5, per_sample: bool = False):
+    """The reference's printed "SSIM": 1 - kornia.losses.ssim_loss(pred, gt, 5)
+    evaluated on RAW [-1,1] tensors with kornia's default max_val=1.0
+    (builder.py:171,182). kornia's loss is mean((1 - ssim_map)/2) with a
+    window-5 sigma-1.5 gaussian and reflect 'same' padding, so the reported
+    number is mean((1 + ssim_map)/2) — NOT standard SSIM. This is the
+    convention the Table-1 / notebook anchors (e.g. 0.7956) use."""
+    m = _ssim_map(pred, target, 1.0, window, "same")
+    half = (1.0 + m) / 2.0
+    if per_sample:
+        return jnp.mean(half, axis=(1, 2, 3))
+    return jnp.mean(half)
+
+
+def mae_ref(pred, target, per_sample: bool = False):
+    """The reference's printed "mae": F.l1_loss on RAW [-1,1] tensors
+    (builder.py:179) — 2x the [0,1]-range MAE."""
+    if per_sample:
+        return jnp.mean(jnp.abs(pred - target), axis=(1, 2, 3))
+    return l1(pred, target)
 
 
 # --------------------------------------------------------------- GAN losses
@@ -193,12 +229,17 @@ def calc_2d_rec_loss(
         loss_dict["loss_id"] = id_loss
         loss_dict["id_sim"] = id_sim
 
-    # metrics (reported, not optimized) on [0, 1] range
+    # metrics (reported, not optimized). mae/ssim follow the REFERENCE's printed
+    # conventions (raw [-1,1] L1; (1+SSIM)/2 window-5, builder.py:171-182) so
+    # scores are comparable to the Table-1/notebook anchors; the standard forms
+    # are kept under *_std keys.
     pred01 = (pred + 1.0) / 2.0
     gt01 = (gt + 1.0) / 2.0
-    loss_dict["mae"] = l1(pred01, gt01)
+    loss_dict["mae"] = mae_ref(pred, gt)
+    loss_dict["mae_std"] = l1(pred01, gt01)
     loss_dict["psnr"] = psnr(pred01, gt01)
-    loss_dict["ssim"] = ssim(pred01, gt01)
+    loss_dict["ssim"] = ssim_ref(pred, gt)
+    loss_dict["ssim_std"] = ssim(pred01, gt01)
     loss_dict["loss_2d"] = loss
     return loss, loss_dict
 

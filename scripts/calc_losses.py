@@ -49,7 +49,12 @@ def load_pairs(data_path: Path, gt_path: Path, size: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="lpips", choices=["lpips", "l2", "psnr", "ssim", "id"])
+    ap.add_argument(
+        "--mode", default="lpips",
+        choices=["lpips", "l2", "psnr", "ssim", "ssim_ref", "mae_ref", "id"],
+        help="ssim_ref/mae_ref use the reference's printed conventions "
+        "(kornia window-5 (1+SSIM)/2 and L1 on [-1,1], builder.py:171-182)",
+    )
     ap.add_argument("--data-path", required=True, help="results dir")
     ap.add_argument("--gt-path", required=True, help="ground-truth dir (same filenames)")
     ap.add_argument("--batch-size", type=int, default=4)
@@ -83,6 +88,14 @@ def main():
         metric = lambda p, t: np.array(
             [float(psnr(jnp.asarray(p[i : i + 1]), jnp.asarray(t[i : i + 1]), max_val=2.0)) for i in range(len(p))]
         )
+    elif args.mode == "ssim_ref":
+        from e3dge_tpu.training.losses import ssim_ref
+
+        metric = lambda p, t: np.asarray(ssim_ref(jnp.asarray(p), jnp.asarray(t), per_sample=True))
+    elif args.mode == "mae_ref":
+        from e3dge_tpu.training.losses import mae_ref
+
+        metric = lambda p, t: np.asarray(mae_ref(jnp.asarray(p), jnp.asarray(t), per_sample=True))
     else:  # ssim
         from e3dge_tpu.training.losses import ssim
 

@@ -36,6 +36,12 @@ def test_validation_scores(runner, tmp_path):
     scores = runner.validation(d, batch_size=2)
     assert scores["num_images"] == 4
     assert np.isfinite(scores["psnr"])
+    # ssim/mae are reference-convention (comparable to the notebook anchors);
+    # the standard forms ride along under *_std. ref-SSIM = (1+SSIM)/2 on the
+    # [-1,1] range is always >= the standard [0,1] SSIM; ref-MAE = 2x std MAE.
+    assert {"ssim", "ssim_std", "mae", "mae_std"} <= scores.keys()
+    assert scores["ssim"] >= scores["ssim_std"] - 1e-6
+    np.testing.assert_allclose(scores["mae"], 2 * scores["mae_std"], rtol=1e-4)
     saved = json.loads((runner.work_dir / "scores.json").read_text())
     assert len(saved) == 1 and saved[0]["num_images"] == 4
 

@@ -40,6 +40,59 @@ def test_losses_basics():
     np.testing.assert_allclose(float(eik), 0.0, atol=1e-6)
 
 
+def test_reference_metric_conventions():
+    """Pin ssim_ref/mae_ref to the reference's kornia conventions
+    (builder.py:171-182): SSIM = 1 - kornia.losses.ssim_loss(pred, gt, 5) on
+    RAW [-1,1] tensors (window-5 sigma-1.5 gaussian, reflect 'same' padding,
+    max_val=1.0) = mean((1+ssim_map)/2); MAE = F.l1_loss on [-1,1].
+    Golden computed by an independent torch reimplementation of kornia's math
+    (kornia itself is not installed here)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(-1, 1, (2, 3, 24, 24)).astype(np.float32)
+    gt = np.clip(pred + rng.normal(0, 0.15, pred.shape), -1, 1).astype(np.float32)
+
+    def torch_kornia_ssim_metric(a, b, window=5, max_val=1.0):
+        x = torch.from_numpy(a)
+        y = torch.from_numpy(b)
+        coords = torch.arange(window, dtype=torch.float64) - window // 2
+        g = torch.exp(-(coords**2) / (2 * 1.5**2))
+        g = (g / g.sum()).float()
+        k = (g[:, None] * g[None, :]).expand(x.shape[1], 1, window, window)
+        p = window // 2
+
+        def filt(t):
+            t = F.pad(t, (p, p, p, p), mode="reflect")
+            return F.conv2d(t, k, groups=t.shape[1])
+
+        c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+        mu_x, mu_y = filt(x), filt(y)
+        sxx = filt(x * x) - mu_x**2
+        syy = filt(y * y) - mu_y**2
+        sxy = filt(x * y) - mu_x * mu_y
+        ssim_map = ((2 * mu_x * mu_y + c1) * (2 * sxy + c2)) / (
+            (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
+        )
+        loss = torch.mean((1.0 - ssim_map) / 2.0)  # kornia.losses.ssim_loss
+        return float(1.0 - loss)
+
+    golden_ssim = torch_kornia_ssim_metric(pred, gt)
+    golden_mae = float(F.l1_loss(torch.from_numpy(pred), torch.from_numpy(gt)))
+
+    np.testing.assert_allclose(float(L.ssim_ref(jnp.asarray(pred), jnp.asarray(gt))), golden_ssim, rtol=1e-5)
+    np.testing.assert_allclose(float(L.mae_ref(jnp.asarray(pred), jnp.asarray(gt))), golden_mae, rtol=1e-5)
+    # identical images: reference-convention SSIM saturates at exactly 1.0
+    np.testing.assert_allclose(float(L.ssim_ref(jnp.asarray(gt), jnp.asarray(gt))), 1.0, atol=1e-6)
+    # reference MAE is on [-1,1] -> exactly 2x the [0,1]-range MAE
+    np.testing.assert_allclose(golden_mae, 2 * float(L.l1(jnp.asarray((pred + 1) / 2), jnp.asarray((gt + 1) / 2))), rtol=1e-5)
+    # per-sample forms average to the scalar forms
+    ps = L.ssim_ref(jnp.asarray(pred), jnp.asarray(gt), per_sample=True)
+    assert ps.shape == (2,)
+    np.testing.assert_allclose(float(jnp.mean(ps)), golden_ssim, rtol=1e-5)
+
+
 def test_adaptive_weight_and_adopt():
     """calculate_adaptive_weight = |g_rec| / (|g_adv| + 1e-4) clipped (reference
     gan_loss.py:69-86)."""
