@@ -42,7 +42,12 @@ def bench_train_step() -> dict | None:
     # bf16 conv-stack activations (f32 master params + f32 SIREN field): measured
     # 471 -> 343 ms/step on v5e with matching loss (tests/test_precision.py pins
     # the numerics; scripts/train.py --dtype exposes the same switch)
+    # bf16 teacher sampling is the TPU perf stack the stage scripts opt into
+    # (config default is reference-exact f32) — bench what the scripts run
     cfg = dataclasses.replace(stage1_config(), dtype="bfloat16")
+    from e3dge_tpu.utils.config import _with
+
+    cfg = _with(cfg, renderer=dict(sample_field_dtype="bfloat16"))
     model = E3DGE(cfg)
     ml = LatentMeans(
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),

@@ -517,6 +517,158 @@ class Runner:
         path.write_text(json.dumps(existing, indent=2))
         return scores
 
+    # ------------------------------------------------- optimization inversion
+
+    def project_images(
+        self,
+        data_root: str | Path,
+        steps: int = 300,
+        lr: float = 5e-3,
+        pti_steps: int = 0,
+        wspace: bool = False,
+        batch_size: int = 1,
+        max_images: int | None = None,
+        seed: int = 0,
+    ):
+        """Optimization inversion over a directory of images (reference
+        Projectors.project, projectors.py:129-330): per batch, estimate the
+        camera with the pose head, optimize W+ (or W with wspace) offsets
+        against the mean latent, optionally PTI-fine-tune the generator, and
+        save `projection/<stem>/latent_in.npz` (+ `pti_g` orbax item) plus the
+        final reconstruction — the artifacts `validation_from_latents`
+        consumes (reference saves latent_in.pt, :160-162,300-330)."""
+        from e3dge_tpu.training.projector import project
+        from e3dge_tpu.training.projector import pti as run_pti
+        from e3dge_tpu.utils.image_io import save_image_grid
+
+        ds = EvalImageDataset(data_root, size=self.cfg.pifu.load_size)
+        out_root = self.work_dir / "projection"
+        results = []
+        seen = 0
+        for bi, batch in enumerate(ds.iter_batches(batch_size)):
+            if max_images and seen >= max_images:
+                break
+            imgs = jnp.asarray(batch["image"])
+            cam = self._jitted(
+                "image2camsettings",
+                lambda v, x: self.model.apply(v, x, method=E3DGE.image2camsettings),
+            )(self.variables, imgs)
+            latents, losses = project(
+                self.model, self.variables, self.mean_latents, imgs, cam,
+                jax.random.key(seed + bi), steps=steps, lr=lr,
+                lpips_fn=self.lpips_fn, wspace=wspace,
+            )
+            variables = self.variables
+            if pti_steps > 0:
+                variables, _ = run_pti(
+                    self.model, variables, latents, imgs, cam,
+                    steps=pti_steps, lpips_fn=self.lpips_fn,
+                )
+            rec = self._jitted(
+                "project_rec",
+                lambda v, lat, c: self.model.apply(
+                    v, lat, c, method=E3DGE.latent2image, rngs={"noise": jax.random.key(0)}
+                ),
+            )(variables, latents, cam)
+            for i, name in enumerate(batch["img_path"]):
+                stem = Path(name).stem
+                d = out_root / stem
+                d.mkdir(parents=True, exist_ok=True)
+                np.savez(
+                    d / "latent_in.npz",
+                    renderer=np.asarray(latents[0][i]),
+                    decoder=np.asarray(latents[1][i]),
+                    final_loss=float(losses[-1]),
+                )
+                save_image_grid(d / "rec.png", np.asarray(rec["gen_imgs"][i : i + 1]))
+                if pti_steps > 0:
+                    import orbax.checkpoint as ocp
+
+                    ckptr = ocp.StandardCheckpointer()
+                    ckptr.save(
+                        (d / "pti_g").resolve(),
+                        jax.tree.map(lambda x: x[...], variables["params"]["generator"]),
+                    )
+                    ckptr.wait_until_finished()
+                results.append({"name": stem, "final_loss": float(losses[-1])})
+            seen += imgs.shape[0]
+        return results
+
+    def validation_from_latents(
+        self,
+        data_root: str | Path,
+        projection_root: str | Path | None = None,
+        batch_size: int = 4,
+        max_images: int | None = None,
+        use_pti: bool = False,
+    ):
+        """Validation consuming saved projection latents instead of the encoder
+        (the reference's --inference_projection_validation: loads
+        `<root>/<stem>/latent_in.pt`, optionally the PTI generator state, and
+        renders at the estimated camera, trainer.py:355-379)."""
+        proj_root = Path(projection_root) if projection_root else self.work_dir / "projection"
+        ds = EvalImageDataset(data_root, size=self.cfg.pifu.load_size)
+        agg: dict[str, list] = {}
+        seen = 0
+        for batch in ds.iter_batches(batch_size):
+            if max_images and seen >= max_images:
+                break
+            keep = [i for i, n in enumerate(batch["img_path"])
+                    if (proj_root / Path(n).stem / "latent_in.npz").exists()]
+            if not keep:
+                continue
+            imgs = jnp.asarray(batch["image"][keep])
+            lat = [
+                np.load(proj_root / Path(batch["img_path"][i]).stem / "latent_in.npz")
+                for i in keep
+            ]
+            latents = [
+                jnp.asarray(np.stack([l["renderer"] for l in lat])),
+                jnp.asarray(np.stack([l["decoder"] for l in lat])),
+            ]
+            variables = self.variables
+            if use_pti:
+                import orbax.checkpoint as ocp
+
+                # per-image PTI generators only work at batch 1 (reference loads
+                # one g state per image too, trainer.py:367-373)
+                assert len(keep) == 1, "use_pti requires batch_size=1"
+                gp = ocp.StandardCheckpointer().restore(
+                    (proj_root / Path(batch["img_path"][keep[0]]).stem / "pti_g").resolve(),
+                    self.variables["params"]["generator"],
+                )
+                variables = {
+                    "params": {**self.variables["params"], "generator": gp},
+                    **{k: v for k, v in self.variables.items() if k != "params"},
+                }
+            def _render(v, lat, x):
+                cam = self.model.apply(v, x, method=E3DGE.image2camsettings)
+                return self.model.apply(
+                    v, lat, cam, method=E3DGE.latent2image, rngs={"noise": jax.random.key(0)}
+                )
+
+            rec = self._jitted("proj_val_render", _render)(variables, latents, imgs)
+            pred = rec["gen_imgs"]
+            res = min(pred.shape[-1], imgs.shape[-1])
+            from e3dge_tpu.models.e3dge import adaptive_avg_pool as _pool
+
+            metrics = self._jitted(
+                "proj_val_metrics",
+                lambda p, g: self._per_image_metrics(_pool(p, res), _pool(g, res)),
+                res,
+            )(pred, imgs)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).extend(np.asarray(v).tolist())
+            seen += len(keep)
+        scores = {k: float(np.mean(v)) for k, v in agg.items()}
+        scores["num_images"] = seen
+        scores["projection_validation"] = True
+        path = self.work_dir / "scores.json"
+        existing = json.loads(path.read_text()) if path.exists() else []
+        existing.append(scores)
+        path.write_text(json.dumps(existing, indent=2))
+        return scores
+
     # ------------------------------------------------------------ checkpoints
 
     def save_checkpoint(self, state=None, name: str = "latest", d_state=None):
@@ -571,8 +723,20 @@ class Runner:
                 state = ckptr.restore(path / "state", state_template)
             if d_template is not None and (path / "d_state").is_dir():
                 d_state = ckptr.restore(path / "d_state", d_template)
-        else:  # legacy layout: one {"variables": ...} item
-            restored = ckptr.restore(path)
+        else:  # legacy layout: one {"variables": ..., ["state"/"d_state": ...]} item
+            raw = ckptr.restore(path)  # discover which keys the item holds
+            template = {"variables": self.variables}
+            if state_template is not None and "state" in raw:
+                template["state"] = state_template
+            if d_template is not None and "d_state" in raw:
+                template["d_state"] = d_template
+            for k in raw:  # keys we have no typed template for: keep raw
+                template.setdefault(k, raw[k])
+            restored = ckptr.restore(path, template) if len(template) > 1 else raw
             self.variables = restored["variables"]
+            if state_template is not None:
+                state = restored.get("state")
+            if d_template is not None:
+                d_state = restored.get("d_state")
         self._jit_cache.clear()
         return state, d_state

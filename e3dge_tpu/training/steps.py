@@ -359,26 +359,37 @@ def make_cycle_step(
         batch["images"] = cst("images", batch["images"])
         batch["thumb_images"] = cst("thumb_images", batch["thumb_images"])
 
-        ref_info = model.apply(
+        # train=True throughout (the reference keeps every `network` module in
+        # train() mode during training, base_runner.py:196-199, only the frozen
+        # generator is eval'd): BN uses batch stats, and the decoder takes its
+        # training path (s2d_min_res threshold + reshape d2s — the faster
+        # backward form; the eval-only d2s_mxu/s2d_min_res_eval branch is for
+        # serving). batch_stats updates thread sequentially ref -> que.
+        ref_info, mut1 = model.apply(
             variables,
             batch["images"],
             mean_latents,
             batch["cam_settings"],
+            train=True,
             method=E3DGE.encode_ref_images,
             rngs={"noise": k_noise},
+            mutable=["batch_stats"],
         )
 
         # swap odd/even: view B becomes the query view for identity A
         que_cam = swap_tree(batch["cam_settings"])
         que_images = swap_tree(batch["images"])
-        que_out = model.apply(
-            variables,
+        que_out, mut2 = model.apply(
+            {"params": variables["params"], **state.extra, **mut1},
             ref_info,
             que_cam,
             method=E3DGE.que_render_given_ref,
+            train=True,
             use_ref_view_weight=use_ref_view_weight,
             rngs={"noise": k_noise},
+            mutable=["batch_stats"],
         )
+        mutated = {**mut1, **mut2}
         rec = que_out["res_render_out"]
         rec["gen_imgs"] = cst("gen_imgs", rec["gen_imgs"])
         rec["gen_thumb_imgs"] = cst("gen_thumb_imgs", rec["gen_thumb_imgs"])
@@ -433,7 +444,7 @@ def make_cycle_step(
             m2d["depth_consistency"] = d_loss
 
         m2d["loss"] = loss
-        return loss, m2d
+        return loss, (m2d, mutated)
 
     def train_step(
         state: TrainState, mean_latents: LatentMeans, rng: jax.Array, bs: int, d_params=None
@@ -447,7 +458,7 @@ def make_cycle_step(
 
             def probe(leaf):
                 t2 = _set_path(state.params, adaptive_probe_path, leaf)
-                _, m = loss_fn(t2, state, mean_latents, rng, bs, d_params, 1.0)
+                _, (m, _mut) = loss_fn(t2, state, mean_latents, rng, bs, d_params, 1.0)
                 return m["loss_2d"], m["loss_e_adv"]
 
             _, vjp_fn = jax.vjp(probe, probe_leaf)
@@ -455,7 +466,7 @@ def make_cycle_step(
             (g_adv,) = vjp_fn((jnp.asarray(0.0), jnp.asarray(1.0)))
             d_weight = L.calculate_adaptive_weight(g_recon, g_adv, disc_weight_max)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, mean_latents, rng, bs, d_params, d_weight
         )
         if adaptive_d_loss and d_apply is not None and lambdas.get("adv_lambda", 0.0) > 0:
@@ -467,7 +478,10 @@ def make_cycle_step(
             from e3dge_tpu.training.train_utils import ema_update
 
             ema = ema_update(ema, params, ema_decay)
-        new_state = state._replace(step=state.step + 1, params=params, opt_state=opt_state, ema=ema)
+        extra = {**state.extra, **mutated}
+        new_state = state._replace(
+            step=state.step + 1, params=params, extra=extra, opt_state=opt_state, ema=ema
+        )
         return new_state, metrics
 
     return train_step

@@ -71,9 +71,10 @@ class RendererConfig:
     # render keeps field_dtype f32 (r3 xprof: the f32 sample field was ~25
     # ms/step of un-fused VPU sin + relayouts at batch 4). The 3D SDF grid
     # targets (near-surface/uniform) always stay f32 — they come from
-    # query_sdf. Set "float32" (scripts/train.py --sample-field-dtype) for
-    # bit-level reference numerics.
-    sample_field_dtype: str = "bfloat16"
+    # query_sdf. Default f32 = bit-level reference numerics; the TPU stage
+    # scripts opt into bf16 (--sample-field-dtype bfloat16, ~25 ms/step win at
+    # batch 4) and train.py logs the active teacher dtype at startup.
+    sample_field_dtype: str = "float32"
     # Pallas fused field query on the inference path (ops/pallas/siren_kernel.py).
     # EXPERIMENTAL: parity-verified, but on v5e the XLA formulation currently wins
     # (0.22 ms vs 1.84 ms per 98k-point query) — keep False for production.

@@ -29,7 +29,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh", "now", "hdtf"], default="metrics")
+    ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh", "now", "hdtf", "project"],
+                    default="metrics")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--torch-ckpt", default=None, help="reference .pt to ingest")
     ap.add_argument("--batch", type=int, default=4)
@@ -43,6 +44,18 @@ def main():
     ap.add_argument("--no-perceptual", action="store_true",
                     help="skip LPIPS/ID metric nets (faster; scores lack those columns)")
     ap.add_argument("--tiny", action="store_true")
+    # optimization inversion (reference Projectors, projectors.py:29-734;
+    # defaults = options.py:1474-1490)
+    ap.add_argument("--project-steps", type=int, default=300, help="first_inv_steps")
+    ap.add_argument("--project-lr", type=float, default=5e-3, help="first_inv_lr")
+    ap.add_argument("--wspace", action="store_true", help="optimize W (one row) instead of W+")
+    ap.add_argument("--pti", action="store_true", help="PTI generator fine-tuning after projection")
+    ap.add_argument("--pti-steps", type=int, default=100, help="max_pti_steps")
+    ap.add_argument("--projection-root", default=None,
+                    help="with --mode metrics: validate renders from saved "
+                         "projection latents instead of the encoder (the reference's "
+                         "--inference_projection_validation, trainer.py:355-379); "
+                         "add --pti to also load each image's PTI generator")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                     help="conv-stack activation dtype. float32 (default) reproduces "
                          "reference-exact metrics; bfloat16 is the fast serving mode "
@@ -50,7 +63,15 @@ def main():
     ap.add_argument("--field-dtype", default=None, choices=["float32", "bfloat16"],
                     help="SIREN field dtype (bf16+fast_sin serving path); "
                          "default follows --dtype")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax debug_nans/debug_infs — the reference's always-on "
+                         "torch.autograd.set_detect_anomaly (train_ae.py:16-20); "
+                         "raises at the op that produced a non-finite value, ~2x cost")
     args = ap.parse_args()
+    if args.debug_nans:
+        from e3dge_tpu.utils.profiling import enable_debug_checks
+
+        enable_debug_checks()
 
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
     from e3dge_tpu.runner import Runner
@@ -77,7 +98,7 @@ def main():
     variables = jax.jit(model.init)({"params": jax.random.key(0), "noise": jax.random.key(1)}, imgs0, ml)
 
     lpips_fn = id_fn = None
-    if args.mode == "metrics" and not args.no_perceptual:
+    if args.mode in ("metrics", "project") and not args.no_perceptual:
         from e3dge_tpu.training.perceptual import make_perceptual_fns
 
         lpips_fn, id_fn = make_perceptual_fns(
@@ -110,8 +131,23 @@ def main():
         runner.mean_latents = ml
 
     if args.mode == "metrics":
-        scores = runner.validation(args.data, batch_size=args.batch, max_images=args.max_images)
+        if args.projection_root:
+            scores = runner.validation_from_latents(
+                args.data, args.projection_root, batch_size=1 if args.pti else args.batch,
+                max_images=args.max_images, use_pti=args.pti,
+            )
+        else:
+            scores = runner.validation(args.data, batch_size=args.batch, max_images=args.max_images)
         print(scores)
+    elif args.mode == "project":
+        results = runner.project_images(
+            args.data, steps=args.project_steps, lr=args.project_lr,
+            pti_steps=args.pti_steps if args.pti else 0, wspace=args.wspace,
+            batch_size=args.batch, max_images=args.max_images,
+        )
+        print(f"projected {len(results)} images -> {runner.work_dir / 'projection'}")
+        for r in results:
+            print(f"  {r['name']}: final_loss={r['final_loss']:.4f}")
     elif args.mode == "video":
         ds = EvalImageDataset(args.data, size=cfg.pifu.load_size)
         batch = next(ds.iter_batches(args.batch))

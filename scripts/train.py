@@ -112,11 +112,12 @@ def main():
     ap.add_argument("--occlusion-dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="field dtype for the stop-gradient occlusion re-integration "
                          "(bf16+fast_sin serving path; the training field itself stays f32)")
-    ap.add_argument("--sample-field-dtype", default="bfloat16", choices=["float32", "bfloat16"],
+    ap.add_argument("--sample-field-dtype", default="float32", choices=["float32", "bfloat16"],
                     help="field dtype for the frozen-teacher target rendering in "
                          "synthetic_sample (stop-gradient data generation; float32 "
-                         "reproduces reference-exact targets; 3D SDF grid targets "
-                         "are always f32)")
+                         "[default] reproduces reference-exact targets; bfloat16 is "
+                         "the TPU perf mode the stage scripts opt into, ~25 ms/step "
+                         "faster at batch 4; 3D SDF grid targets are always f32)")
     ap.add_argument("--hit-prob-consistency-lambda", type=float, default=0.0)
     ap.add_argument("--depth-lambda", type=float, default=0.0)
     ap.add_argument("--res-lambda", type=float, default=1.0)
@@ -129,7 +130,15 @@ def main():
     ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
                     help="conv-stack compute dtype (bfloat16 halves HBM traffic on "
                          "the decoder/encoder/hourglass pyramids; params stay f32)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax debug_nans/debug_infs — the reference's always-on "
+                         "torch.autograd.set_detect_anomaly (train_ae.py:16-20); "
+                         "raises at the op that produced a non-finite value, ~2x cost")
     args = ap.parse_args()
+    if args.debug_nans:
+        from e3dge_tpu.utils.profiling import enable_debug_checks
+
+        enable_debug_checks()
 
     from e3dge_tpu.models.discriminator import Discriminator
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans, adaptive_avg_pool
@@ -242,6 +251,15 @@ def main():
 
     print_parameter(state.params)  # trainable audit (reference trainer.py:753-757)
     print(f"lambdas: { {k: v for k, v in lambdas.items() if v} }")
+    print(
+        f"dtypes: compute={cfg.dtype} field={cfg.renderer.field_dtype} "
+        f"frozen-teacher-sampling={cfg.renderer.sample_field_dtype}"
+        + (
+            " (NOTE: teacher targets are bf16+fast_sin, not reference-exact f32)"
+            if cfg.renderer.sample_field_dtype != "float32"
+            else ""
+        )
+    )
     schedule = pose_curriculum() if args.pose_curriculum else (lambda step: jnp.asarray(1.0))
 
     # ---- optional full-res D (stage 2.2 adversarial training) ----

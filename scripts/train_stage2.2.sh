@@ -5,7 +5,9 @@
 # progressive pose curriculum. Reference lambdas: --l2_lambda 1 --vgg_lambda 1
 # --id_lambda 0.1 --res_lambda 1 --lr 5e-5.
 # Pass --data /path/to/ffhq for real D training images (reference dataset_path).
+# TPU perf opt-in: bf16+fast_sin frozen-teacher targets (config default is reference-exact f32)
 python scripts/train.py --stage 2.2 \
+  --sample-field-dtype "${SAMPLE_FIELD_DTYPE:-bfloat16}" \
   --iters "${ITERS:-50000}" --batch "${BATCH:-4}" --lr 5e-5 \
   --l2-lambda 1 --vgg-lambda 1 --id-lambda 0.1 --res-lambda 1.0 \
   --fix-ada --ema --pose-curriculum \

@@ -66,6 +66,23 @@ def test_metric_logger(tmp_path):
     assert json.loads(lines[1])["val/loss"] == 0.25
 
 
+def test_debug_nans_raises():
+    """enable_debug_checks (scripts/train.py --debug-nans) must actually raise at
+    the op producing a non-finite value — the JAX equivalent of the reference's
+    always-on torch.autograd.set_detect_anomaly (train_ae.py:16-20)."""
+    import pytest
+
+    from e3dge_tpu.utils.profiling import enable_debug_checks
+
+    enable_debug_checks()
+    try:
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(jax.jit(jnp.log)(jnp.asarray(-1.0)))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_infs", False)
+
+
 def test_projector_tiny(tiny_test_setup):
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
     from e3dge_tpu.render.camera import camera_params_from_angles

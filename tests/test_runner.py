@@ -99,6 +99,68 @@ def test_checkpoint_rotation(runner):
     np.testing.assert_allclose(np.asarray(v_before), np.asarray(v_path))
 
 
+def test_project_images_and_validation_from_latents(runner, tmp_path):
+    """Optimization-inversion surface (reference Projectors.project +
+    --inference_projection_validation, projectors.py:129-330 /
+    trainer.py:355-379): project a directory, then validate from the saved
+    latents, including the per-image PTI generator load."""
+    d = _image_dir(tmp_path, n=2, size=runner.cfg.pifu.load_size)
+    results = runner.project_images(d, steps=3, pti_steps=2, batch_size=1)
+    assert len(results) == 2
+    proj = runner.work_dir / "projection"
+    for r in results:
+        assert (proj / r["name"] / "latent_in.npz").exists()
+        assert (proj / r["name"] / "rec.png").exists()
+        assert (proj / r["name"] / "pti_g").exists()
+    lat = np.load(proj / results[0]["name"] / "latent_in.npz")
+    assert lat["renderer"].shape == (runner.cfg.renderer.depth + 1, runner.cfg.renderer.style_dim)
+
+    scores = runner.validation_from_latents(d, batch_size=1, use_pti=True)
+    assert scores["num_images"] == 2
+    assert scores["projection_validation"] is True
+    assert np.isfinite(scores["psnr"])
+
+
+def test_project_wspace_offsets(runner, tmp_path):
+    """--wspace optimizes one row broadcast over the W+ rows (projectors.py:86-101):
+    all W+ rows of the result must share the same offset from the mean."""
+    from e3dge_tpu.training.projector import project
+
+    imgs = np.random.randn(1, 3, runner.cfg.pifu.load_size, runner.cfg.pifu.load_size).astype(np.float32)
+    cam = runner.model.apply(runner.variables, jnp.asarray(imgs), method=E3DGE.image2camsettings)
+    latents, losses = project(
+        runner.model, runner.variables, runner.mean_latents, jnp.asarray(imgs), cam,
+        jax.random.key(0), steps=3, wspace=True,
+    )
+    off = np.asarray(latents[0] - runner.mean_latents.renderer)
+    np.testing.assert_allclose(off, np.broadcast_to(off[:, :1], off.shape), rtol=1e-6)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_legacy_checkpoint_with_state_resumes(runner):
+    """A pre-migration single-item checkpoint {"variables", "state"} must still
+    hand back the training state when a template is given (the legacy branch
+    used to drop it, making --resume fail with 'no training state')."""
+    import orbax.checkpoint as ocp
+
+    from e3dge_tpu.training.steps import STAGE1_TRAINABLE, create_train_state, make_optimizer
+
+    state = create_train_state(runner.variables, STAGE1_TRAINABLE, make_optimizer(1e-3))
+    state = state._replace(step=jnp.asarray(7))
+    path = (runner.work_dir / "models_legacy").resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"variables": runner.variables, "state": state})
+    ckptr.wait_until_finished()
+
+    restored_state, d_state = runner.load_checkpoint("legacy", state_template=state)
+    assert d_state is None
+    assert restored_state is not None and int(restored_state.step) == 7
+    assert type(restored_state) is type(state)  # typed restore, not a raw dict
+    # without a template the contract is unchanged: (None, None)
+    s2, d2 = runner.load_checkpoint("legacy")
+    assert s2 is None and d2 is None
+
+
 def test_jitted_cache_keys_by_statics(runner):
     """_jitted must key its cache by closed-over statics — a second closure with
     the same name but different static value may not reuse the first trace

@@ -147,14 +147,15 @@ def test_synthetic_sample(tiny_test_setup):
 
 
 def test_synthetic_sample_field_dtype_tolerance(tiny_test_setup):
-    """sample_field_dtype=bf16 (default teacher mode) stays close to the f32
-    reference targets; the 3D uniform-grid SDF targets are f32-exact since they
-    come from query_sdf, not the sampled render."""
+    """sample_field_dtype=bf16 (the TPU teacher mode the stage scripts opt into;
+    config default is reference-exact f32) stays close to the f32 reference
+    targets; the 3D uniform-grid SDF targets are f32-exact since they come from
+    query_sdf, not the sampled render."""
     from e3dge_tpu.utils import config as C
 
-    cfg, model, v, ml = tiny_test_setup
-    assert cfg.renderer.sample_field_dtype == "bfloat16"
-    model32 = E3DGE(C._with(cfg, renderer=dict(sample_field_dtype="float32")))
+    cfg, model32, v, ml = tiny_test_setup
+    assert cfg.renderer.sample_field_dtype == "float32"  # reference numerics by default
+    model = E3DGE(C._with(cfg, renderer=dict(sample_field_dtype="bfloat16")))
     kw = dict(method=E3DGE.synthetic_sample, rngs={"noise": jax.random.key(3)})
     b16 = model.apply(v, jax.random.key(2), 2, 1.0, True, **kw)
     b32 = model32.apply(v, jax.random.key(2), 2, 1.0, True, **kw)
