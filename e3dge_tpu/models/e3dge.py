@@ -227,6 +227,7 @@ class E3DGE(nn.Module):
         fusion_weight: float = 1.0,
         use_ref_view_weight: bool = False,
         reuse_backbone: bool = False,
+        same_view: bool = False,
     ) -> dict[str, Any]:
         """Render a query view conditioned on the reference-view residual features:
         3D-project ref feats + 2D-align query feats + visibility mask + SFT fusion +
@@ -235,7 +236,12 @@ class E3DGE(nn.Module):
         use_ref_view_weight re-integrates occlusion from the ref view and weights the
         3D-projected features by the hit probability with force-background correction
         (reference cycle_runner.py:133-161; released inference disables it via
-        --disable_ref_view_weight)."""
+        --disable_ref_view_weight).
+
+        same_view declares que_camera == ref camera (image2image serving): the two
+        pixel-aligned lookups fuse into one channel-concat gather and the
+        visibility query pass is skipped (mask provably all-ones) — bit-exact,
+        gather-count win on the TPU serving path."""
         c = self.cfg
         pred_latents = ref_info["pred_latents"]
         ref_calibs = ref_info["cam_settings"].calibs
@@ -247,9 +253,34 @@ class E3DGE(nn.Module):
         B, H, W, S, _ = que_pts.shape
         pts_B3N = jnp.transpose(que_pts.reshape(B, -1, 3), (0, 2, 1))
 
-        # 2. 3D-projected reference features (queried at REF calibs)
-        proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
+        # 4 (hoisted). ADA 2D alignment at the query view + hourglass filter —
+        # computed first so the same-view path can fuse its gather with step 2's
+        dt = self.compute_dtype
+        que_thumb_256 = upsample_nearest(que_info["gen_thumb_imgs"], c.pifu.load_size)
+        aligned_res = self.grid_align(
+            jnp.concatenate([ref_info["orig_res_gt"], que_thumb_256], axis=1).astype(dt), train=train
+        ).astype(jnp.float32)
+        que_depth = jnp.transpose(que_info["depth"][..., 0], (0, 3, 1, 2))
+        que_depth_256 = upsample_nearest(que_depth, c.pifu.load_size)
+        que_feat = self.local.filter(aligned_res.astype(dt), que_depth_256.astype(dt), train=train)
+
+        # 2. 3D-projected reference features (queried at REF calibs) + 4b. query
+        # features at QUE calibs. same_view (image2image serving): que_camera IS
+        # the ref camera, so both lookups share identical projection coords ->
+        # ONE channel-concat gather (local.query_pair) instead of two row-gather
+        # passes. Bit-exact vs the generic path (same indices and lerp weights;
+        # pinned by tests/test_pipeline.py).
+        if same_view:
+            q = self.local.query_pair(
+                ref_info["ref_view_aligned_feat"], que_feat, pts_B3N, ref_calibs
+            )
+            proj = {"feats": q["feats_a"], "in_img": q["in_img"]}
+            proj_2d = {"feats": q["feats_b"], "in_img": q["in_img"]}
+        else:
+            proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
+            proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
         feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+        feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 
         ref_hit_prob = None
         if use_ref_view_weight:
@@ -276,23 +307,18 @@ class E3DGE(nn.Module):
             ref_hit_prob = ref_hit_prob * in_img_3d
             feature_3d = feature_3d * ref_hit_prob
 
-        # 3. visibility: project query surface xyz into the ref view
-        xyz_B3N = jnp.transpose(que_info["xyz"].reshape(B, -1, 3), (0, 2, 1))
-        ref_proj = self.local.query(ref_info["ref_view_aligned_feat"], xyz_B3N, ref_calibs)
-        vis_mask = ref_proj["in_img"].reshape(B, H, W, 1, 1).astype(que_pts.dtype)
-        vis_mask = jnp.repeat(vis_mask, S, axis=-2)
-
-        # 4. ADA 2D alignment at the query view + hourglass + query at QUE calibs
-        dt = self.compute_dtype
-        que_thumb_256 = upsample_nearest(que_info["gen_thumb_imgs"], c.pifu.load_size)
-        aligned_res = self.grid_align(
-            jnp.concatenate([ref_info["orig_res_gt"], que_thumb_256], axis=1).astype(dt), train=train
-        ).astype(jnp.float32)
-        que_depth = jnp.transpose(que_info["depth"][..., 0], (0, 3, 1, 2))
-        que_depth_256 = upsample_nearest(que_depth, c.pifu.load_size)
-        que_feat = self.local.filter(aligned_res.astype(dt), que_depth_256.astype(dt), train=train)
-        proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
-        feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+        # 3. visibility: project query surface xyz into the ref view. same_view:
+        # the surface xyz are generated from THIS camera's rays, so each point
+        # reprojects exactly to its own pixel center (|ndc| <= 1 - 1/W, strictly
+        # in-image) — the mask is identically 1 and the whole xyz query pass
+        # (project + H*W-point row gather) is skipped.
+        if same_view:
+            vis_mask = jnp.ones((B, H, W, S, 1), que_pts.dtype)
+        else:
+            xyz_B3N = jnp.transpose(que_info["xyz"].reshape(B, -1, 3), (0, 2, 1))
+            ref_proj = self.local.query(ref_info["ref_view_aligned_feat"], xyz_B3N, ref_calibs)
+            vis_mask = ref_proj["in_img"].reshape(B, H, W, 1, 1).astype(que_pts.dtype)
+            vis_mask = jnp.repeat(vis_mask, S, axis=-2)
 
         # 5. SFT fusion of (2D feats + vis mask) into 3D-projected feats, + PE
         fdt = jnp.dtype(c.renderer.field_dtype)
@@ -391,6 +417,7 @@ class E3DGE(nn.Module):
             key=key,
             train=train,
             reuse_backbone=not train,
+            same_view=True,
         )
         out["ref_info"] = ref_info
         return out

@@ -191,6 +191,24 @@ class LocalFeatureNet(nn.Module):
     def query(self, im_feat: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray) -> dict:
         return query_features(im_feat, points, calibs, self.cfg.load_size, self.cfg.z_size)
 
+    def query_pair(
+        self, feat_a: jnp.ndarray, feat_b: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray
+    ) -> dict:
+        """One fused pixel-aligned lookup for two feature volumes sharing the SAME
+        projection (same points, same calibs — the same-view serving case): a
+        single channel-concat gather instead of two row-gather passes. Bit-exact
+        vs two query() calls (identical indices and lerp weights; the gather is
+        the TPU slow path, halving passes is the win). Returns the query dict
+        with feats_a/feats_b split back out."""
+        ca = feat_a.shape[1]
+        q = query_features(
+            jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=1),
+            points, calibs, self.cfg.load_size, self.cfg.z_size,
+        )
+        q["feats_a"] = q["feats"][:, :ca]
+        q["feats_b"] = q["feats"][:, ca:]
+        return q
+
     def tex_modulations(self, local_feats: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """[..., local_feats_dim] -> (alpha, beta) each [..., modulation_width]."""
         m = self.tex_modulation_head(local_feats)

@@ -118,6 +118,11 @@ def main():
                          "[default] reproduces reference-exact targets; bfloat16 is "
                          "the TPU perf mode the stage scripts opt into, ~25 ms/step "
                          "faster at batch 4; 3D SDF grid targets are always f32)")
+    ap.add_argument("--remat-field", action="store_true",
+                    help="rematerialize the SIREN field in the backward pass "
+                         "(jax.checkpoint) instead of storing the [B,H,W,S,width+4] "
+                         "activations — HBM for FLOPs; identical numerics "
+                         "(tests/test_training.py pins loss+grad equality)")
     ap.add_argument("--hit-prob-consistency-lambda", type=float, default=0.0)
     ap.add_argument("--depth-lambda", type=float, default=0.0)
     ap.add_argument("--res-lambda", type=float, default=1.0)
@@ -172,6 +177,8 @@ def main():
         cfg = C._with(cfg, renderer=dict(occlusion_field_dtype=args.occlusion_dtype))
     if args.sample_field_dtype != cfg.renderer.sample_field_dtype:
         cfg = C._with(cfg, renderer=dict(sample_field_dtype=args.sample_field_dtype))
+    if args.remat_field:
+        cfg = C._with(cfg, renderer=dict(remat_field=True))
 
     model = E3DGE(cfg)
     imgs = jnp.zeros((2, 3, cfg.pifu.load_size, cfg.pifu.load_size))

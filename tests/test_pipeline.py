@@ -153,6 +153,40 @@ def test_pool_helpers():
     np.testing.assert_allclose(np.asarray(up[0, 0, :2, :2]), 2.5)
 
 
+def test_same_view_fused_query_bit_exact(full_pipeline):
+    """same_view=True (image2image serving) — one channel-concat gather for the
+    ref/query feature lookups + skipped all-ones visibility query — must be
+    BIT-exact vs the generic two-pass path at the same camera."""
+    cfg, model, v, images, ml = full_pipeline
+    ref_info = model.apply(
+        v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)}
+    )
+
+    def render(sv):
+        return model.apply(
+            v,
+            ref_info,
+            ref_info["cam_settings"],
+            que_info=ref_info["global_render_out"],
+            same_view=sv,
+            method=E3DGE.que_render_given_ref,
+            rngs={"noise": jax.random.key(5)},
+        )
+
+    fused = render(True)
+    generic = render(False)
+    np.testing.assert_array_equal(
+        np.asarray(fused["res_render_out"]["gen_imgs"]),
+        np.asarray(generic["res_render_out"]["gen_imgs"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused["res_render_out"]["gen_thumb_imgs"]),
+        np.asarray(generic["res_render_out"]["gen_thumb_imgs"]),
+    )
+    # the skipped visibility mask is provably all-ones at the same view
+    assert np.asarray(generic["in_img_mask"]).all()
+
+
 def test_cached_backbone_rerender_matches_full(full_pipeline):
     """Same-view conditioned re-render via the cached SIREN backbone
     (render_from_backbone) equals the full recompute path: tex-only modulation

@@ -167,6 +167,30 @@ def test_synthetic_sample_field_dtype_tolerance(tiny_test_setup):
     )
 
 
+def test_remat_field_loss_and_grads_identical(tiny_test_setup):
+    """renderer.remat_field (scripts/train.py --remat-field) is jax.checkpoint —
+    it must change memory behavior only: stage-1 loss AND grads bit-match the
+    stored-activation form."""
+    from e3dge_tpu.utils import config as C
+
+    cfg, model, v, ml = tiny_test_setup
+    model_rm = E3DGE(C._with(cfg, renderer=dict(remat_field=True)))
+    tx = make_optimizer(1e-3)
+    lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.1)
+
+    def two_steps(m):
+        step = jax.jit(make_stage1_step(m, lambdas, tx), static_argnums=(3,))
+        state = create_train_state(v, STAGE1_TRAINABLE, tx)
+        state, m1 = step(state, ml, jax.random.key(7), 2)
+        _, m2 = step(state, ml, jax.random.key(8), 2)
+        return float(m1["loss"]), float(m2["loss"])  # step-2 loss sees step-1 GRADS
+
+    l1a, l2a = two_steps(model)
+    l1b, l2b = two_steps(model_rm)
+    np.testing.assert_allclose(l1a, l1b, rtol=1e-6)
+    np.testing.assert_allclose(l2a, l2b, rtol=1e-6)
+
+
 def test_stage1_step_updates_encoder_only(tiny_test_setup):
     cfg, model, v, ml = tiny_test_setup
 
