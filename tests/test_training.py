@@ -410,7 +410,7 @@ def test_volume_d_step(tiny_test_setup):
 
 def test_train_resume_identical_trajectory(tiny_test_setup, tmp_path):
     """Kill-and-resume fidelity (reference base_runner.py:252-285 saves optimizer
-    dicts): 6 straight steps == 3 steps + full-state checkpoint round-trip + 3
+    dicts): 4 straight steps == 2 steps + full-state checkpoint round-trip + 2
     steps, with per-iter fold_in keys (the scripts/train.py scheme)."""
     from e3dge_tpu.runner import Runner
 
@@ -428,16 +428,16 @@ def test_train_resume_identical_trajectory(tiny_test_setup, tmp_path):
         return state, losses
 
     # uninterrupted
-    sA, lossesA = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 6)
+    sA, lossesA = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 4)
 
     # interrupted: 3 steps, checkpoint, fresh process state, restore, 3 more
-    sB, lossesB1 = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 3)
+    sB, lossesB1 = run(create_train_state(v, STAGE1_TRAINABLE, tx, ema=True), 0, 2)
     runner = Runner(cfg, {"params": {**sB.frozen, **sB.params}, **sB.extra}, ml, work_dir=tmp_path)
     runner.save_checkpoint(state=sB, name="latest")
     fresh = create_train_state(v, STAGE1_TRAINABLE, tx, ema=True)
     restored, _ = runner.load_checkpoint("latest", state_template=fresh)
-    assert int(restored.step) == 3
-    sB2, lossesB2 = run(restored, 3, 3)
+    assert int(restored.step) == 2
+    sB2, lossesB2 = run(restored, 2, 2)
 
     np.testing.assert_allclose(lossesA, lossesB1 + lossesB2, rtol=1e-6)
     # EMA survived the round trip and matches the uninterrupted run
