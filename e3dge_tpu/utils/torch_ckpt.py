@@ -518,11 +518,56 @@ def split_generator_sd(g_ema_sd: dict[str, Any]) -> tuple[dict, dict]:
     return gen, local
 
 
+def _sd_to_numpy(sd: dict[str, Any]) -> dict[str, Any]:
+    return {
+        k.removeprefix("module."): v.detach().cpu().numpy()
+        for k, v in sd.items()
+        if hasattr(v, "detach")
+    }
+
+
 def load_torch_file(path: str) -> dict[str, Any]:
-    """Load a .pt/.pth into numpy arrays (CPU torch required)."""
+    """Load a .pt/.pth into numpy arrays (CPU torch required). A StyleSDF-style
+    wrapper dict collapses to its 'g_ema' entry."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "g_ema" in ckpt:
         ckpt = ckpt["g_ema"]
-    return {k: v.detach().cpu().numpy() for k, v in ckpt.items() if hasattr(v, "detach")}
+    return _sd_to_numpy(ckpt)
+
+
+def load_raw_ckpt(path: str) -> dict[str, Any]:
+    """Load a .pt/.pth WITHOUT collapsing wrapper keys — for multi-network
+    save_dicts (full E3DGE training checkpoints) and for pulling secondary
+    entries like the StyleSDF 'd' (volume discriminator, the pose estimator —
+    train_setup.py:139-141)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# reference network-dict names (base_runner.save_network:253-285 saves one
+# state_dict per self.network entry) -> our ingest_variables top-module names.
+# 'discriminator' (the full-res G1 D) lives in the training bundle, not in the
+# E3DGE inference variables — load it via scripts/train.py --resume paths.
+E3DGE_SAVE_DICT_TOPS = {
+    "encoder": "encoder",                  # trainer.py:1684
+    "netLocal": "local",                   # AERunner network dict
+    "grid_align": "grid_align",            # e3dge_2dalignonly_runner.py:566
+    "Fuse_sft_block": "fuse_sft_block",    # e3dge_full_runner.py:322
+    "volume_discriminator": "volume_discriminator",
+}
+
+
+def split_e3dge_save_dict(ckpt: dict[str, Any]) -> dict[str, dict[str, Any]]:
+    """A released E3DGE training checkpoint is a save_dict keyed by network name
+    ('iter', 'encoder', 'netLocal', 'grid_align', 'Fuse_sft_block', optimizer
+    states, ...). Map the inference-relevant entries to our ingest_variables
+    tops as numpy state dicts."""
+    out = {}
+    for ref_name, our_top in E3DGE_SAVE_DICT_TOPS.items():
+        sd = ckpt.get(ref_name)
+        if isinstance(sd, dict) and sd:
+            out[our_top] = _sd_to_numpy(sd)
+    return out

@@ -32,7 +32,15 @@ def main():
     ap.add_argument("--mode", choices=["metrics", "video", "edit", "mesh", "now", "hdtf", "project"],
                     default="metrics")
     ap.add_argument("--ckpt", default=None)
-    ap.add_argument("--torch-ckpt", default=None, help="reference .pt to ingest")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference StyleSDF .pt to ingest (g_ema generator + "
+                         "netLocal; its 'd' entry, when present, also fills the "
+                         "volume discriminator = pose estimator)")
+    ap.add_argument("--torch-encoder-ckpt", default=None,
+                    help="reference E3DGE training save_dict .pt to ingest "
+                         "(encoder / netLocal / grid_align / Fuse_sft_block — "
+                         "base_runner.save_network layout); apply AFTER "
+                         "--torch-ckpt for the released-weights parity run")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--smile", type=float, default=1.0)
@@ -113,20 +121,33 @@ def main():
     runner = Runner(cfg, variables, ml, work_dir=args.out, lpips_fn=lpips_fn, id_fn=id_fn)
     if args.ckpt:
         runner.load_checkpoint(args.ckpt)  # full path or a models_<name> in --out
-    if args.torch_ckpt:
+    if args.torch_ckpt or args.torch_encoder_ckpt:
         from e3dge_tpu.utils.torch_ckpt import (
+            _sd_to_numpy,
             ingest_variables,
+            load_raw_ckpt,
             load_torch_file,
             normalize_g_ema_keys,
+            split_e3dge_save_dict,
             split_generator_sd,
         )
 
-        sd = normalize_g_ema_keys(load_torch_file(args.torch_ckpt))
-        gen_sd, local_sd = split_generator_sd(sd)
-        runner.variables, missing = ingest_variables(
-            runner.variables, {"generator": gen_sd, "local": local_sd}, strict=False
-        )
-        print(f"ingested torch ckpt ({len(missing)} unmatched leaves)")
+        if args.torch_ckpt:
+            raw = load_raw_ckpt(args.torch_ckpt)
+            sd = normalize_g_ema_keys(load_torch_file(args.torch_ckpt))
+            gen_sd, local_sd = split_generator_sd(sd)
+            sds = {"generator": gen_sd, "local": local_sd}
+            if isinstance(raw, dict) and isinstance(raw.get("d"), dict):
+                # StyleSDF 'd' = the volume discriminator whose viewpoint head is
+                # the pose estimator (train_setup.py:139-141)
+                sds["volume_discriminator"] = _sd_to_numpy(raw["d"])
+            runner.variables, missing = ingest_variables(runner.variables, sds, strict=False)
+            print(f"ingested torch generator ckpt ({len(missing)} unmatched leaves)")
+        if args.torch_encoder_ckpt:
+            sds = split_e3dge_save_dict(load_raw_ckpt(args.torch_encoder_ckpt))
+            runner.variables, missing = ingest_variables(runner.variables, sds, strict=False)
+            print(f"ingested E3DGE save_dict [{', '.join(sds)}] "
+                  f"({len(missing)} unmatched leaves)")
         ml = runner.model.apply(runner.variables, jax.random.key(2), 10000, method=E3DGE.mean_latent)
         runner.mean_latents = ml
 

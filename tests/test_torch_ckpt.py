@@ -79,6 +79,42 @@ def test_normalize_and_split():
     assert "decoder.conv1.conv.weight" in gen
 
 
+def test_e3dge_save_dict_ingestion(variables):
+    """A released E3DGE training checkpoint (base_runner.save_network: one
+    state_dict per network name + 'iter' + optimizer states) splits to our tops
+    and ingests end-to-end — the scripts/eval.py --torch-encoder-ckpt path."""
+    import torch
+
+    from e3dge_tpu.utils.torch_ckpt import split_e3dge_save_dict
+
+    flat = flatten_tree(jax.tree.map(np.asarray, variables))
+    rng = np.random.RandomState(1)
+    ref_name = {"encoder": "encoder", "local": "netLocal",
+                "grid_align": "grid_align", "fuse_sft_block": "Fuse_sft_block"}
+    save_dict = {"iter": 123, "e_optimizer": {"state": {}}}
+    expected = {}
+    for path, v in flat.items():
+        top = path.split("/")[1]
+        if top not in ref_name:
+            continue
+        tk, tf = flax_path_to_torch(path)
+        target = rng.randn(*np.shape(v)).astype(np.float32)
+        # 'module.' prefixes appear in DDP-saved dicts; the splitter strips them
+        save_dict.setdefault(ref_name[top], {})["module." + tk] = torch.from_numpy(
+            np.ascontiguousarray(_INVERSE[tf](target))
+        )
+        expected[path] = target
+    assert expected, "fixture produced no encoder/local/ada/fusion leaves"
+
+    sds = split_e3dge_save_dict(save_dict)
+    assert set(sds) == {"encoder", "local", "grid_align", "fuse_sft_block"}
+    new_vars, missing = ingest_variables(variables, sds, strict=True)
+    assert not missing
+    new_flat = flatten_tree(jax.tree.map(np.asarray, new_vars))
+    for path, target in expected.items():
+        np.testing.assert_allclose(new_flat[path], target, err_msg=path, rtol=1e-6)
+
+
 def test_flatten_unflatten():
     tree = {"a": {"b": 1, "c": {"d": 2}}}
     assert unflatten_tree(flatten_tree(tree)) == tree
