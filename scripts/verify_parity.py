@@ -37,6 +37,10 @@ from pathlib import Path as _P
 
 sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 
+from e3dge_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()  # E3DGE_PLATFORM=cpu rescues runs when the TPU relay is down
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,17 +165,26 @@ def run_real(args) -> int:
     from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
     from e3dge_tpu.utils import config as C
     from e3dge_tpu.utils.torch_ckpt import (
+        E3DGE_SAVE_DICT_TOPS,
         ingest_variables,
+        load_raw_ckpt,
         load_torch_file,
         normalize_g_ema_keys,
+        split_e3dge_save_dict,
         split_generator_sd,
     )
 
     # load the (cheap) torch files FIRST — a bad path should fail before the
     # minutes-long model init on this host
-    sd = normalize_g_ema_keys(load_torch_file(args.ckpt))
-    gen_sd, local_sd = split_generator_sd(sd)
-    sds = {"generator": gen_sd, "local": local_sd}
+    raw = load_raw_ckpt(args.ckpt)
+    if isinstance(raw, dict) and any(k in raw for k in E3DGE_SAVE_DICT_TOPS):
+        # full E3DGE training save_dict (base_runner.save_network layout)
+        sds = split_e3dge_save_dict(raw)
+        print(f"E3DGE save_dict ckpt: [{', '.join(sds)}]")
+    else:
+        sd = normalize_g_ema_keys(load_torch_file(args.ckpt))
+        gen_sd, local_sd = split_generator_sd(sd)
+        sds = {"generator": gen_sd, "local": local_sd}
     for name, path in [("encoder", args.encoder), ("grid_align", args.grid_align),
                        ("fuse_sft_block", args.fuse), ("volume_discriminator", args.volume_d)]:
         if path:
