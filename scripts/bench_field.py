@@ -74,6 +74,14 @@ def main():
         def fwd(s):
             return model.apply(v, pts, dirs, s).sum()
 
+        def fwd16(s):
+            # bf16 training-field candidate: cast at the field boundary like the
+            # serving path, keep the style cotangent in f32 at the boundary
+            out = model.apply(
+                v, pts.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16), s.astype(jnp.bfloat16)
+            )
+            return out.astype(jnp.float32).sum()
+
         variants = {
             "grad_f32_ms": jax.grad(fwd),
             "grad_f32_remat_ms": jax.grad(
@@ -85,6 +93,7 @@ def main():
                     policy=jax.checkpoint_policies.dots_saveable,
                 )(s).sum()
             ),
+            "grad_bf16_ms": jax.grad(fwd16),
         }
         for name, g in variants.items():
             jg = jax.jit(g)

@@ -154,6 +154,14 @@ def main():
         "bf16": dict(_dtype="bfloat16"),
         "bf16_recipe": dict(_dtype="bfloat16", _perceptual=True),  # + LPIPS/ID terms
         "recipe": dict(_perceptual=True),
+        # the bench.py r4 stack (bf16 convs + bf16 teacher sampling, f32 field)
+        "r4": dict(sample_field_dtype="bfloat16", _dtype="bfloat16"),
+        # + bf16 differentiated field (grad_bf16 4.38 vs grad_f32 13.5 ms
+        # standalone, bench_field --grad; r2's 343->388 regression predates the
+        # flattened [B,N,C] field query — re-measured at step level here)
+        "r4_bf16field": dict(
+            sample_field_dtype="bfloat16", field_dtype="bfloat16", _dtype="bfloat16"
+        ),
     }
     for name in args.variants.split(","):
         vk = dict(variant_cfgs[name])

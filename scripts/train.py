@@ -118,6 +118,13 @@ def main():
                          "[default] reproduces reference-exact targets; bfloat16 is "
                          "the TPU perf mode the stage scripts opt into, ~25 ms/step "
                          "faster at batch 4; 3D SDF grid targets are always f32)")
+    ap.add_argument("--field-dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="compute dtype of the DIFFERENTIATED SIREN field (training "
+                         "render). float32 [default] keeps reference-exact training "
+                         "numerics (fused-cos sin VJP); bfloat16 runs the bf16+"
+                         "fast_sin field under autodiff — 3.1x faster field backward "
+                         "(bench_field --grad: 4.4 vs 13.5 ms at the 98k-pt shape); "
+                         "loss drift is tolerance-pinned by tests/test_precision.py")
     ap.add_argument("--remat-field", action="store_true",
                     help="rematerialize the SIREN field in the backward pass "
                          "(jax.checkpoint) instead of storing the [B,H,W,S,width+4] "
@@ -177,6 +184,8 @@ def main():
         cfg = C._with(cfg, renderer=dict(occlusion_field_dtype=args.occlusion_dtype))
     if args.sample_field_dtype != cfg.renderer.sample_field_dtype:
         cfg = C._with(cfg, renderer=dict(sample_field_dtype=args.sample_field_dtype))
+    if args.field_dtype != cfg.renderer.field_dtype:
+        cfg = C._with(cfg, renderer=dict(field_dtype=args.field_dtype))
     if args.remat_field:
         cfg = C._with(cfg, renderer=dict(remat_field=True))
 

@@ -115,3 +115,38 @@ def test_field_bf16_close_to_f32(tiny_full_setup):
     scale = float(jnp.abs(out32).max()) + 1e-6
     err = np.abs(np.asarray(out16) - np.asarray(out32)) / scale
     assert err.mean() < 0.05, f"bf16 field drifted: mean rel err {err.mean():.4f}"
+
+
+def test_stage1_step_bf16_field_tracks_f32(tiny_test_setup):
+    """field_dtype=bfloat16 under AUTODIFF (scripts/train.py --field-dtype): the
+    differentiated bf16+fast_sin field (3.1x faster backward on v5e, bench_field
+    --grad) produces a finite step whose loss tracks the f32 field, and the
+    encoder grads stay finite. Reference numerics stay the f32 default."""
+    import dataclasses
+
+    from e3dge_tpu.training.steps import (
+        STAGE1_TRAINABLE,
+        create_train_state,
+        make_optimizer,
+        make_stage1_step,
+    )
+    from e3dge_tpu.utils.config import _with
+
+    cfg, model, v, ml = tiny_test_setup
+    cfg16 = _with(dataclasses.replace(cfg), renderer=dict(field_dtype="bfloat16")).validate()
+    model16 = E3DGE(cfg16)
+    tx = make_optimizer(1e-3)
+    lambdas = dict(l2_lambda=1.0, latent_gt_lambda=1.0, shape_uniform_lambda=0.1)
+
+    losses = {}
+    for name, m in (("f32", model), ("bf16", model16)):
+        state = create_train_state(v, STAGE1_TRAINABLE, tx)
+        step = jax.jit(make_stage1_step(m, lambdas, tx), static_argnums=(3,))
+        state2, metrics = step(state, ml, jax.random.key(5), 2)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+        finite = jax.tree.leaves(
+            jax.tree.map(lambda x: bool(jnp.isfinite(x).all()), state2.params["encoder"])
+        )
+        assert all(finite)
+    assert abs(losses["bf16"] - losses["f32"]) / (abs(losses["f32"]) + 1e-6) < 0.15, losses
