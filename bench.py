@@ -47,7 +47,9 @@ def bench_train_step() -> dict | None:
     cfg = dataclasses.replace(stage1_config(), dtype="bfloat16")
     from e3dge_tpu.utils.config import _with
 
-    cfg = _with(cfg, renderer=dict(sample_field_dtype="bfloat16"))
+    # + r4: bf16 differentiated field (--field-dtype, 224.5 -> 195.5 ms/step;
+    # grad_bf16 4.4 vs grad_f32 13.5 ms standalone, scripts/bench_field.py --grad)
+    cfg = _with(cfg, renderer=dict(sample_field_dtype="bfloat16", field_dtype="bfloat16"))
     model = E3DGE(cfg)
     ml = LatentMeans(
         renderer=jnp.zeros((1, cfg.renderer.depth + 1, cfg.renderer.style_dim)),
