@@ -30,7 +30,7 @@ from e3dge_tpu.models.align import FuseSftMLP, ResidualAligner
 from e3dge_tpu.models.discriminator import VolumeRenderDiscriminator
 from e3dge_tpu.models.encoders.fpn import HybridGradualStyleEncoderV2
 from e3dge_tpu.models.generator import Generator
-from e3dge_tpu.models.pifu.local_net import LocalFeatureNet
+from e3dge_tpu.models.pifu.local_net import LocalFeatureNet, points_in_image
 from e3dge_tpu.ops import pos_encoding
 from e3dge_tpu.render.camera import CameraParams, camera_params_from_angles
 from e3dge_tpu.utils.config import E3DGEConfig
@@ -275,12 +275,22 @@ class E3DGE(nn.Module):
                 ref_info["ref_view_aligned_feat"], que_feat, pts_B3N, ref_calibs
             )
             proj = {"feats": q["feats_a"], "in_img": q["in_img"]}
-            proj_2d = {"feats": q["feats_b"], "in_img": q["in_img"]}
+            feature_2d = jnp.transpose(q["feats_b"], (0, 2, 1)).reshape(B, H, W, S, -1)
         else:
             proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
-            proj_2d = self.local.query(que_feat, pts_B3N, que_camera.calibs)
+            # que-side gather is RAY-CONSTANT: que_pts are o + t*d with o the
+            # projection center of que_camera (every caller renders que_info at
+            # que_camera), so x/z is independent of t and all S depth samples of
+            # a ray hit the ray's own pixel — gather the HW sample-0 points once
+            # and broadcast across S. Mathematically identical to the per-point
+            # gather (tolerance-pinned, tests/test_pipeline.py); S-fold less
+            # gather forward and scatter backward (the cycle step's widest band:
+            # ~37 ms/step of the 540 at full scale, r4 xprof).
+            pts_ray = jnp.transpose(que_pts[:, :, :, 0, :].reshape(B, -1, 3), (0, 2, 1))
+            q2 = self.local.query(que_feat, pts_ray, que_camera.calibs)
+            f2 = jnp.transpose(q2["feats"], (0, 2, 1)).reshape(B, H, W, 1, -1)
+            feature_2d = jnp.broadcast_to(f2, (B, H, W, S, f2.shape[-1]))
         feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
-        feature_2d = jnp.transpose(proj_2d["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 
         ref_hit_prob = None
         if use_ref_view_weight:
@@ -315,9 +325,12 @@ class E3DGE(nn.Module):
         if same_view:
             vis_mask = jnp.ones((B, H, W, S, 1), que_pts.dtype)
         else:
+            # bounds test only — skip the wasted [HW, C] feature gather the
+            # reference's query does alongside it (points_in_image is
+            # bit-identical to query()["in_img"])
             xyz_B3N = jnp.transpose(que_info["xyz"].reshape(B, -1, 3), (0, 2, 1))
-            ref_proj = self.local.query(ref_info["ref_view_aligned_feat"], xyz_B3N, ref_calibs)
-            vis_mask = ref_proj["in_img"].reshape(B, H, W, 1, 1).astype(que_pts.dtype)
+            in_img = points_in_image(xyz_B3N, ref_calibs)
+            vis_mask = in_img.reshape(B, H, W, 1, 1).astype(que_pts.dtype)
             vis_mask = jnp.repeat(vis_mask, S, axis=-2)
 
         # 5. SFT fusion of (2D feats + vis mask) into 3D-projected feats, + PE

@@ -87,6 +87,19 @@ def depth_normalize(z: jnp.ndarray, load_size: int = 256, z_size: float = 1.12) 
     return z * (load_size // 2) / z_size
 
 
+def points_in_image(points: jnp.ndarray, calibs: jnp.ndarray) -> jnp.ndarray:
+    """in_img bounds mask of query_features WITHOUT the feature gather
+    (HGPIFuGANNet.py:107-115 computes both; callers that only consume the mask —
+    the cross-view visibility test, e3dge.que_render_given_ref step 3 — skip the
+    [N, C] row-gather pass entirely). Bit-identical to query_features()['in_img']
+    (the y flip does not change the symmetric bounds test).
+
+    points [B, 3, N] world space, calibs [B, 4, 4] -> bool [B, N]."""
+    xyz = project_points(points, calibs)
+    u, v = xyz[:, 0], xyz[:, 1]
+    return (u >= -1.0) & (u <= 1.0) & (v >= -1.0) & (v <= 1.0)
+
+
 def query_features(
     im_feat: jnp.ndarray,   # [B, C, Hf, Wf]
     points: jnp.ndarray,    # [B, 3, N] world space

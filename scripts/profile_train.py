@@ -11,6 +11,7 @@ Usage: python scripts/profile_train.py [--variants base,remat] [--batch 4] [--it
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 import time
 from pathlib import Path as _P
@@ -19,6 +20,8 @@ sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
+
+from e3dge_tpu.utils.profiling import trace
 
 
 def time_fn(fn, sync, n=8, warmup=1):
@@ -76,7 +79,8 @@ def build(cfg_kwargs, batch, dtype=None, perceptual=False):
     return cfg, model, variables, ml, state, step
 
 
-def build_cycle(batch, dtype="bfloat16", use_ref_view_weight=False, occlusion_dtype=None):
+def build_cycle(batch, dtype="bfloat16", use_ref_view_weight=False, occlusion_dtype=None,
+                renderer_kwargs=None):
     """Stage-2.2 cycle step at full scale (stage2_config) — times the E1 path and
     the occlusion re-integration (reference cycle_runner.py:133-161)."""
     import dataclasses
@@ -92,6 +96,8 @@ def build_cycle(batch, dtype="bfloat16", use_ref_view_weight=False, occlusion_dt
     from e3dge_tpu.utils.config import _with, stage2_config
 
     cfg = stage2_config()
+    if renderer_kwargs:
+        cfg = _with(cfg, renderer=renderer_kwargs).validate()
     if occlusion_dtype:
         cfg = _with(cfg, renderer=dict(occlusion_field_dtype=occlusion_dtype)).validate()
     if dtype:
@@ -122,13 +128,27 @@ def main():
     ap.add_argument("--cycle", action="store_true",
                     help="profile the stage-2.2 cycle step instead; variants: "
                          "base / refweight / refweight_bf16occ")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture an xprof trace of the timed loop into DIR "
+                         "(parse with scripts/parse_trace.py)")
     args = ap.parse_args()
+
+    maybe_trace = (
+        (lambda: trace(args.trace)) if args.trace else contextlib.nullcontext
+    )
 
     if args.cycle:
         cycle_cfgs = {
             "base": dict(),
             "refweight": dict(use_ref_view_weight=True),
             "refweight_bf16occ": dict(use_ref_view_weight=True, occlusion_dtype="bfloat16"),
+            # r4 TPU stack: bf16 teacher sampling + bf16 differentiated field
+            # (the cycle xprof showed THREE f32 field passes per step)
+            "r4": dict(renderer_kwargs=dict(
+                sample_field_dtype="bfloat16", field_dtype="bfloat16")),
+            "r4_refweight": dict(use_ref_view_weight=True, occlusion_dtype="bfloat16",
+                                 renderer_kwargs=dict(
+                sample_field_dtype="bfloat16", field_dtype="bfloat16")),
         }
         for name in args.variants.split(","):
             cfg, model, variables, ml, state, step = build_cycle(args.batch, **cycle_cfgs[name])
@@ -141,7 +161,8 @@ def main():
                 st, metrics = step(st, ml, k, args.batch)
                 return metrics["loss"]
 
-            ms = time_fn(run, lambda x: float(x), n=args.iters)
+            with maybe_trace():
+                ms = time_fn(run, lambda x: float(x), n=args.iters)
             print(f"[cycle/{name}] stage-2.2 step batch={args.batch}: {ms:.1f} ms/step "
                   f"({args.batch * 1000 / ms:.1f} img/s/chip)", flush=True)
         return
@@ -199,7 +220,8 @@ def main():
             st, metrics = step(st, ml, k, args.batch)
             return metrics["loss"]
 
-        ms = time_fn(run, lambda x: float(x), n=args.iters)
+        with maybe_trace():
+            ms = time_fn(run, lambda x: float(x), n=args.iters)
         print(f"[{name}] stage-1 step batch={args.batch}: {ms:.1f} ms/step "
               f"({args.batch * 1000 / ms:.1f} img/s/chip)", flush=True)
 

@@ -216,3 +216,47 @@ def test_cached_backbone_rerender_matches_full(full_pipeline):
     np.testing.assert_allclose(
         np.asarray(fast["gen_imgs"]), np.asarray(slow["gen_imgs"]), atol=2e-4
     )
+
+
+def test_que_gather_ray_constant(full_pipeline):
+    """The que-side pixel-aligned gather is ray-constant (e3dge.py step 2/4b):
+    every depth sample of a ray projects to the ray's own pixel in the camera
+    that generated the rays (pinhole: o is the projection center, so x/z of
+    o + t*d is independent of t). Pins (a) the projected grid is constant
+    along S, (b) the sample-0 gather broadcast across S equals the per-point
+    gather — the invariant the r4 cycle-step optimization relies on."""
+    from e3dge_tpu.render.camera import camera_params_from_angles, project_points
+
+    cfg, model, v, images, ml = full_pipeline
+    ref_info = model.apply(
+        v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)}
+    )
+    que_cam = camera_params_from_angles(
+        jnp.asarray([0.3, -0.2]), jnp.asarray([0.05, 0.15]), cfg.renderer.out_im_res
+    )
+    que_info = model.apply(
+        v, ref_info["pred_latents"], que_cam,
+        method=lambda m, lat, cam: m.latent2image(lat, cam, renderer_only=True),
+        rngs={"noise": jax.random.key(6)},
+    )
+    pts = que_info["points"]  # [B, H, W, S, 3]
+    B, H, W, S, _ = pts.shape
+    pts_all = jnp.transpose(pts.reshape(B, -1, 3), (0, 2, 1))
+    xyz = project_points(pts_all, que_cam.calibs)  # [B, 3, N]
+    uv = np.asarray(xyz[:, :2]).reshape(B, 2, H * W, S)
+    # (a) projection constant along the sample axis
+    np.testing.assert_allclose(uv, np.broadcast_to(uv[..., :1], uv.shape), atol=2e-5)
+
+    # (b) per-point gather == sample-0 gather broadcast
+    feat = ref_info["ref_view_aligned_feat"]
+
+    def q(m, f, p):
+        return m.local.query(f, p, que_cam.calibs)["feats"]
+
+    f_all = model.apply(v, feat, pts_all, method=q)
+    f_all = np.asarray(jnp.transpose(f_all, (0, 2, 1)).reshape(B, H, W, S, -1))
+    pts_ray = jnp.transpose(pts[:, :, :, 0, :].reshape(B, -1, 3), (0, 2, 1))
+    f_ray = model.apply(v, feat, pts_ray, method=q)
+    f_ray = np.asarray(jnp.transpose(f_ray, (0, 2, 1)).reshape(B, H, W, 1, -1))
+    scale = np.abs(f_all).max() + 1e-6
+    np.testing.assert_allclose(f_all / scale, np.broadcast_to(f_ray, f_all.shape) / scale, atol=1e-4)
