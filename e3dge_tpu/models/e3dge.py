@@ -271,11 +271,19 @@ class E3DGE(nn.Module):
         # passes. Bit-exact vs the generic path (same indices and lerp weights;
         # pinned by tests/test_pipeline.py).
         if same_view:
+            # same_view makes BOTH lookups ray-constant (ref IS the camera that
+            # generated the rays — see the non-same-view comment below): one
+            # channel-concat gather over the HW sample-0 points, broadcast
+            # across S. S-fold less gather work on the serving path.
+            pts_ray = jnp.transpose(que_pts[:, :, :, 0, :].reshape(B, -1, 3), (0, 2, 1))
             q = self.local.query_pair(
-                ref_info["ref_view_aligned_feat"], que_feat, pts_B3N, ref_calibs
+                ref_info["ref_view_aligned_feat"], que_feat, pts_ray, ref_calibs
             )
-            proj = {"feats": q["feats_a"], "in_img": q["in_img"]}
-            feature_2d = jnp.transpose(q["feats_b"], (0, 2, 1)).reshape(B, H, W, S, -1)
+            proj = {"in_img": q["in_img"]}  # [B, HW] ray-constant mask
+            fa = jnp.transpose(q["feats_a"], (0, 2, 1)).reshape(B, H, W, 1, -1)
+            fb = jnp.transpose(q["feats_b"], (0, 2, 1)).reshape(B, H, W, 1, -1)
+            feature_3d = jnp.broadcast_to(fa, (B, H, W, S, fa.shape[-1]))
+            feature_2d = jnp.broadcast_to(fb, (B, H, W, S, fb.shape[-1]))
         else:
             proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
             # que-side gather is RAY-CONSTANT: que_pts are o + t*d with o the
@@ -290,7 +298,7 @@ class E3DGE(nn.Module):
             q2 = self.local.query(que_feat, pts_ray, que_camera.calibs)
             f2 = jnp.transpose(q2["feats"], (0, 2, 1)).reshape(B, H, W, 1, -1)
             feature_2d = jnp.broadcast_to(f2, (B, H, W, S, f2.shape[-1]))
-        feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
+            feature_3d = jnp.transpose(proj["feats"], (0, 2, 1)).reshape(B, H, W, S, -1)
 
         ref_hit_prob = None
         if use_ref_view_weight:
@@ -313,7 +321,11 @@ class E3DGE(nn.Module):
                 ref_hit_prob = renderer.query_hit_prob(
                     sg_pts, ref_info["cam_settings"], sg_styles
                 )
-            in_img_3d = proj["in_img"].reshape(B, H, W, S, 1).astype(feature_3d.dtype)
+            in_img = proj["in_img"]
+            if in_img.shape[1] == H * W:  # ray-constant mask (same_view)
+                in_img_3d = in_img.reshape(B, H, W, 1, 1).astype(feature_3d.dtype)
+            else:
+                in_img_3d = in_img.reshape(B, H, W, S, 1).astype(feature_3d.dtype)
             ref_hit_prob = ref_hit_prob * in_img_3d
             feature_3d = feature_3d * ref_hit_prob
 
@@ -376,7 +388,9 @@ class E3DGE(nn.Module):
         return {
             "res_render_out": res_render_out,
             "aligned_res": aligned_res,
-            "in_img_mask": proj["in_img"].reshape(B, H, W, S, 1),
+            # [B,H,W,1,1] when the ref lookup was ray-collapsed (same_view),
+            # [B,H,W,S,1] for the per-point ref-side gather
+            "in_img_mask": proj["in_img"].reshape(B, H, W, -1, 1),
             "que_info": que_info,
             "ref_hit_prob": ref_hit_prob,
         }

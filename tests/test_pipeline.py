@@ -154,9 +154,12 @@ def test_pool_helpers():
 
 
 def test_same_view_fused_query_bit_exact(full_pipeline):
-    """same_view=True (image2image serving) — one channel-concat gather for the
-    ref/query feature lookups + skipped all-ones visibility query — must be
-    BIT-exact vs the generic two-pass path at the same camera."""
+    """same_view=True (image2image serving) — one RAY-COLLAPSED channel-concat
+    gather for the ref/query feature lookups + skipped all-ones visibility
+    query — must match the generic two-pass path at the same camera. Tolerance
+    (not bit) since r4: the fused path gathers at the sample-0 projection while
+    the generic ref-side gather projects per point — identical up to fp ulps in
+    the x/z division (see test_que_gather_ray_constant)."""
     cfg, model, v, images, ml = full_pipeline
     ref_info = model.apply(
         v, images, ml, method=E3DGE.encode_ref_images, rngs={"noise": jax.random.key(4)}
@@ -175,13 +178,15 @@ def test_same_view_fused_query_bit_exact(full_pipeline):
 
     fused = render(True)
     generic = render(False)
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(fused["res_render_out"]["gen_imgs"]),
         np.asarray(generic["res_render_out"]["gen_imgs"]),
+        atol=5e-4,
     )
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(fused["res_render_out"]["gen_thumb_imgs"]),
         np.asarray(generic["res_render_out"]["gen_thumb_imgs"]),
+        atol=5e-4,
     )
     # the skipped visibility mask is provably all-ones at the same view
     assert np.asarray(generic["in_img_mask"]).all()
