@@ -309,18 +309,33 @@ class E3DGE(nn.Module):
             # (occlusion_field_dtype) and skips its backward graph entirely
             sg_pts = jax.lax.stop_gradient(que_pts)
             sg_styles = jax.lax.stop_gradient(ref_info["pred_latents"][0])
+            # "texture" mode: trilinear lookup of the ref render's own weight
+            # volume (light-field approximation; query_hit_prob_texture) —
+            # needs the ref-view render, so it falls back to exact when the
+            # caller didn't carry one (e.g. render_multiview's tiled ref_info)
+            use_texture = (
+                c.renderer.occlusion_mode == "texture"
+                and "global_render_out" in ref_info
+            )
+            if use_texture:
+                ref_vol = jax.lax.stop_gradient(
+                    ref_info["global_render_out"]["hit_prob"]
+                )
+                query = lambda p: renderer.query_hit_prob_texture(
+                    p, ref_info["cam_settings"], ref_vol
+                )
+            else:
+                query = lambda p: renderer.query_hit_prob(
+                    p, ref_info["cam_settings"], sg_styles
+                )
             if c.renderer.force_background:
                 # re-integrate occlusion for all but the forced-background sample,
                 # then put the leftover mass on the last one (cycle_runner.py:139-155)
-                hp = renderer.query_hit_prob(
-                    sg_pts[..., :-1, :], ref_info["cam_settings"], sg_styles
-                )
+                hp = query(sg_pts[..., :-1, :])
                 last = 1.0 - jnp.sum(hp, axis=-2, keepdims=True)
                 ref_hit_prob = jnp.concatenate([hp, last], axis=-2)
             else:
-                ref_hit_prob = renderer.query_hit_prob(
-                    sg_pts, ref_info["cam_settings"], sg_styles
-                )
+                ref_hit_prob = query(sg_pts)
             in_img = proj["in_img"]
             if in_img.shape[1] == H * W:  # ray-constant mask (same_view)
                 in_img_3d = in_img.reshape(B, H, W, 1, 1).astype(feature_3d.dtype)

@@ -387,6 +387,71 @@ class VolumeFeatureRenderer(nn.Module):
         out = floor_v + w * (ceil_v - floor_v)
         return out.reshape(B, H, W, S, 1)
 
+    def query_hit_prob_texture(
+        self,
+        wd_pts: jnp.ndarray,        # [B, H, W, Sq, 3] query points (world space)
+        ref_camera: CameraParams,
+        ref_hit_prob: jnp.ndarray,  # [B, Hr, Wr, Sr, 1] ref render weight volume
+    ) -> jnp.ndarray:
+        """Light-field approximation of query_hit_prob: instead of re-integrating a
+        full ray through every query point (Sr field evaluations per point — ~24x
+        the field work of a render, the cycle step's +178 ms refweight band), sample
+        the REFERENCE view's already-computed weight volume trilinearly: bilinear
+        over the Hr x Wr ray grid (one channels-last row gather, Sr channels) and
+        linear over the canonical depth-interval grid.
+
+        Exact at the ref ray grid; between rays it interpolates the 4 neighbours'
+        integrals instead of integrating the exact ray (and ignores train-time
+        z-jitter), so it is an APPROXIMATION of the reference semantics
+        (volume_renderer.py:1326-1495) — opt-in via RendererConfig.occlusion_mode
+        ("texture"); the default "exact" keeps the per-point re-integration. The
+        weighting is stop-gradient auxiliary data in the released recipe, so mask
+        drift only perturbs a loss weighting, never the reconstruction targets.
+
+        Returns [B, H, W, Sq, 1] occlusion weights in the query layout."""
+        from e3dge_tpu.ops.grid_sample import grid_sample
+
+        c = self.cfg
+        B, H, W, Sq, _ = wd_pts.shape
+        N = H * W * Sq
+        Hr, Wr, Sr = ref_hit_prob.shape[1:4]
+        pts = wd_pts.reshape(B, N, 3)
+
+        w2c_R = ref_camera.extrinsics[:, :, :3]
+        w2c_t = ref_camera.extrinsics[:, :, 3]
+        p_cam = jnp.einsum("bij,bnj->bni", w2c_R, pts) + w2c_t[:, None]
+        inv_z = 1.0 / (-p_cam[..., 2])
+        # get_rays pixel convention: dir_x = (i - res/2)/f at z=-1, i in
+        # [0.5, res-0.5]; torch-style ndc u = 2*i/res - 1 = 2*f*x_ndc/res
+        f = ref_camera.focal.reshape(B, 1)
+        u = 2.0 * f * p_cam[..., 0] * inv_z / Wr
+        v = -2.0 * f * p_cam[..., 1] * inv_z / Hr
+        grid = jnp.stack([u, v], axis=-1)[:, :, None, :]  # [B, N, 1, 2]
+
+        vol = jnp.transpose(ref_hit_prob[..., 0], (0, 3, 1, 2))  # [B, Sr, Hr, Wr]
+        occ = grid_sample(vol, grid)[..., 0]                      # [B, Sr, N]
+        occ = jnp.transpose(occ, (0, 2, 1))                       # [B, N, Sr]
+
+        # fractional interval index along the point's own ref ray: the ray
+        # parameterization has z = -1 in camera space, so the parameter IS the
+        # camera-space depth — idx = (depth - z0) / (z1 - z0) on the canonical grid
+        near = ref_camera.near.reshape(B, 1)
+        far = ref_camera.far.reshape(B, 1)
+        if c.offset_sampling:
+            t_vals = jnp.linspace(0.0, 1.0 - 1.0 / Sr, Sr)
+        else:
+            t_vals = jnp.linspace(0.0, 1.0, Sr)
+        z0 = near * (1.0 - t_vals[0]) + far * t_vals[0]
+        z1 = near * (1.0 - t_vals[1]) + far * t_vals[1]
+        idx = ((-p_cam[..., 2] - z0) / (z1 - z0) + 1e-5)[..., None]  # [B, N, 1]
+        idx_floor = jnp.clip(jnp.floor(idx), 0, Sr - 1).astype(jnp.int32)
+        idx_ceil = jnp.clip(jnp.ceil(idx), 0, Sr - 1).astype(jnp.int32)
+        floor_v = jnp.take_along_axis(occ, idx_floor, axis=-1)
+        ceil_v = jnp.take_along_axis(occ, idx_ceil, axis=-1)
+        w = jnp.clip(idx - idx_floor, 0.0, 1.0)
+        out = floor_v + w * (ceil_v - floor_v)
+        return out.reshape(B, H, W, Sq, 1)
+
     def query_hit_prob_adapted(
         self,
         wd_pts: jnp.ndarray,       # [B, H, W, S, 3] query points (world space)

@@ -65,6 +65,13 @@ class RendererConfig:
     # generator), so it can run the bf16+fast_sin serving field even when training
     # keeps field_dtype f32 for its fused-cos VJP. None -> follow field_dtype.
     occlusion_field_dtype: str | None = None
+    # Occlusion re-integration mode for use_ref_view_weight (cycle training):
+    # "exact" re-integrates a full ray through every query point (reference
+    # cycle_runner.py:133-161 semantics; ~24x a render's field work); "texture"
+    # trilinearly samples the ref render's own weight volume instead — a
+    # light-field approximation of the same stop-gradient weighting (see
+    # VolumeFeatureRenderer.query_hit_prob_texture).
+    occlusion_mode: str = "exact"
     # Field dtype for the FROZEN-teacher target rendering in synthetic_sample
     # (DATASETGAN_3D). The sampling pass is stop-gradient data generation, so it
     # can use the bf16+fast_sin serving field even when the differentiated

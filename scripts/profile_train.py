@@ -149,6 +149,12 @@ def main():
             "r4_refweight": dict(use_ref_view_weight=True, occlusion_dtype="bfloat16",
                                  renderer_kwargs=dict(
                 sample_field_dtype="bfloat16", field_dtype="bfloat16")),
+            # + texture-mode occlusion (light-field lookup of the ref render's
+            # weight volume instead of per-point re-integration)
+            "r4_refweight_tex": dict(use_ref_view_weight=True,
+                                     renderer_kwargs=dict(
+                sample_field_dtype="bfloat16", field_dtype="bfloat16",
+                occlusion_mode="texture")),
         }
         for name in args.variants.split(","):
             cfg, model, variables, ml, state, step = build_cycle(args.batch, **cycle_cfgs[name])

@@ -112,6 +112,13 @@ def main():
     ap.add_argument("--occlusion-dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="field dtype for the stop-gradient occlusion re-integration "
                          "(bf16+fast_sin serving path; the training field itself stays f32)")
+    ap.add_argument("--occlusion-mode", default="exact", choices=["exact", "texture"],
+                    help="use_ref_view_weight occlusion source: 'exact' re-integrates "
+                         "a ray through every query point (reference semantics, "
+                         "cycle_runner.py:133-161; ~24x a render's field work); "
+                         "'texture' trilinearly samples the ref render's own weight "
+                         "volume — a light-field approximation of the same stop-grad "
+                         "weighting (tolerance-pinned by tests/test_render.py)")
     ap.add_argument("--sample-field-dtype", default="float32", choices=["float32", "bfloat16"],
                     help="field dtype for the frozen-teacher target rendering in "
                          "synthetic_sample (stop-gradient data generation; float32 "
@@ -182,6 +189,8 @@ def main():
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
     if args.use_ref_view_weight and args.occlusion_dtype != "float32":
         cfg = C._with(cfg, renderer=dict(occlusion_field_dtype=args.occlusion_dtype))
+    if args.occlusion_mode != "exact":
+        cfg = C._with(cfg, renderer=dict(occlusion_mode=args.occlusion_mode))
     if args.sample_field_dtype != cfg.renderer.sample_field_dtype:
         cfg = C._with(cfg, renderer=dict(sample_field_dtype=args.sample_field_dtype))
     if args.field_dtype != cfg.renderer.field_dtype:

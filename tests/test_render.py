@@ -328,3 +328,38 @@ def test_sweep_camera_params():
     np.testing.assert_allclose(v[0, 0], -0.3, rtol=1e-5)
     np.testing.assert_allclose(v[-1, 0], 0.3, rtol=1e-5)
     np.testing.assert_allclose(v[:, 1], 0.0, atol=1e-7)
+
+
+def test_query_hit_prob_texture_matches_exact():
+    """Texture-mode occlusion (query_hit_prob_texture): trilinear lookup of the
+    ref render's weight volume. For query points ON the ref view's own rays at
+    eval (canonical z grid), the bilinear lands exactly on ray centers and the
+    non-terminal weights share the exact path's formula — near-exact agreement;
+    for a novel view's points it is a light-field interpolation — statistical
+    agreement."""
+    cfg = tiny_test_config().renderer
+    rnd = VolumeFeatureRenderer(cfg)
+    cam = _cams(batch=2, res=cfg.out_im_res)
+    styles = 0.1 * jax.random.normal(jax.random.key(1), (2, cfg.style_dim))
+    v = rnd.init(jax.random.key(0), cam, styles)
+
+    ref_out = rnd.apply(v, cam, styles)  # eval: canonical z grid
+    vol = ref_out["hit_prob"]
+
+    # (a) the ref view's own sample points, all but the forced-background sample
+    pts_own = ref_out["points"][:, :, :, :-1, :]
+    exact = rnd.apply(v, pts_own, cam, styles, method=VolumeFeatureRenderer.query_hit_prob)
+    tex = rnd.apply(v, pts_own, cam, vol, method=VolumeFeatureRenderer.query_hit_prob_texture)
+    assert tex.shape == exact.shape
+    np.testing.assert_allclose(np.asarray(tex), np.asarray(exact), atol=2e-3)
+
+    # (b) a novel view's points: interpolation between rays, loose agreement
+    cam2 = camera_params_from_angles(
+        jnp.asarray([0.35, -0.3]), jnp.asarray([0.15, 0.1]), cfg.out_im_res
+    )
+    que_out = rnd.apply(v, cam2, styles)
+    pts_nv = que_out["points"][:, :, :, :-1, :]
+    exact_nv = rnd.apply(v, pts_nv, cam, styles, method=VolumeFeatureRenderer.query_hit_prob)
+    tex_nv = rnd.apply(v, pts_nv, cam, vol, method=VolumeFeatureRenderer.query_hit_prob_texture)
+    d = np.abs(np.asarray(tex_nv) - np.asarray(exact_nv))
+    assert d.mean() < 0.05, f"texture occlusion drifted: mean {d.mean():.4f}"
