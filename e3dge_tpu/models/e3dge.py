@@ -362,11 +362,14 @@ class E3DGE(nn.Module):
 
         # 5. SFT fusion of (2D feats + vis mask) into 3D-projected feats, + PE
         fdt = jnp.dtype(c.renderer.field_dtype)
-        if not train and fdt != jnp.float32:
-            # serving: the whole fusion path feeds the bf16 field — keep the
+        if fdt != jnp.float32:
+            # the whole fusion path feeds the bf16 field — keep the
             # [B,H,W,S,257] tensors in field_dtype (the f32 vis-mask concat
             # otherwise promotes everything back to f32; the fusion MLPs follow
-            # their input dtype, align.py). Training keeps f32 modulations.
+            # their input dtype, align.py). Applies under training too when
+            # --field-dtype opts in (the fusion/modulation dots were ~38 ms/step
+            # of the r4 cycle step in f32; master params stay f32 — mixed
+            # precision by input dtype, models/layers.py design).
             feature_2d = feature_2d.astype(fdt)
             feature_3d = feature_3d.astype(fdt)
             vis_mask = vis_mask.astype(fdt)
@@ -376,8 +379,8 @@ class E3DGE(nn.Module):
         # tuple = unmaterialized concat: the modulation MLP splits its input
         # matmuls by weight columns (align.ResnetBlockFC), skipping two
         # [B,H,W,S,301] concat materializations
-        if not train and fdt != jnp.float32:
-            # the modulation MLP also runs in field_dtype at serving time
+        if fdt != jnp.float32:
+            # the modulation MLP also runs in field_dtype
             # (volume_renderer casts its own inputs at the field boundary)
             pe = pe.astype(fdt)
         local_feats = (fused, pe)  # logical [B,H,W,S, 256+45]

@@ -150,3 +150,39 @@ def test_stage1_step_bf16_field_tracks_f32(tiny_test_setup):
         )
         assert all(finite)
     assert abs(losses["bf16"] - losses["f32"]) / (abs(losses["f32"]) + 1e-6) < 0.15, losses
+
+
+def test_cycle_step_bf16_field_tracks_f32(tiny_full_setup):
+    """field_dtype=bfloat16 in the CYCLE step: the bf16 differentiated field AND
+    the bf16 fusion/modulation path (feature_2d/3d/vis_mask/PE cast at the field
+    boundary now applies under train=True too) produce a finite step whose loss
+    tracks f32. The fusion MLPs are stage-2.2 TRAINABLES — this also pins that
+    their bf16-input grads stay finite (master params f32)."""
+    import dataclasses
+
+    from e3dge_tpu.training.steps import (
+        STAGE22_TRAINABLE,
+        create_train_state,
+        make_cycle_step,
+        make_optimizer,
+    )
+    from e3dge_tpu.utils.config import _with
+
+    cfg, model, v, ml = tiny_full_setup
+    cfg16 = _with(dataclasses.replace(cfg), renderer=dict(field_dtype="bfloat16")).validate()
+    model16 = E3DGE(cfg16)
+    tx = make_optimizer(1e-4)
+    lambdas = dict(l2_lambda=1.0, res_lambda=1.0)
+
+    losses = {}
+    for name, m in (("f32", model), ("bf16", model16)):
+        state = create_train_state(v, STAGE22_TRAINABLE, tx)
+        step = jax.jit(make_cycle_step(m, lambdas, tx), static_argnums=(3,))
+        state2, metrics = step(state, ml, jax.random.key(5), 2)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+        finite = jax.tree.leaves(
+            jax.tree.map(lambda x: bool(jnp.isfinite(x).all()), state2.params)
+        )
+        assert all(finite)
+    assert abs(losses["bf16"] - losses["f32"]) / (abs(losses["f32"]) + 1e-6) < 0.15, losses
