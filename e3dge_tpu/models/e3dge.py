@@ -285,6 +285,10 @@ class E3DGE(nn.Module):
             feature_3d = jnp.broadcast_to(fa, (B, H, W, S, fa.shape[-1]))
             feature_2d = jnp.broadcast_to(fb, (B, H, W, S, fb.shape[-1]))
         else:
+            # ref-side query is genuinely per-point (que points projected into the
+            # REF view) — under the bf16 fusion path query_sample_mode="auto"
+            # lowers it to the one-hot matmul form (grid_sample_mm): the widest
+            # remaining cycle-step band was this gather's scatter-add backward
             proj = self.local.query(ref_info["ref_view_aligned_feat"], pts_B3N, ref_calibs)
             # que-side gather is RAY-CONSTANT: que_pts are o + t*d with o the
             # projection center of que_camera (every caller renders que_info at

@@ -24,7 +24,7 @@ from e3dge_tpu.models.align import ResnetBlockFC
 from e3dge_tpu.models.encoders.fpn import TorchConv
 from e3dge_tpu.models.layers import EqualLinear
 from e3dge_tpu.models.pifu.hourglass import HGFilter
-from e3dge_tpu.ops import grid_sample
+from e3dge_tpu.ops import grid_sample, grid_sample_mm
 from e3dge_tpu.render.camera import project_points
 from e3dge_tpu.utils.config import PifuConfig
 
@@ -106,8 +106,18 @@ def query_features(
     calibs: jnp.ndarray,    # [B, 4, 4]
     load_size: int = 256,
     z_size: float = 1.12,
+    sample_mode: str = "gather",
 ) -> dict[str, jnp.ndarray]:
     """Pixel-aligned feature lookup (HGPIFuGANNet.py:85-211, return_feat_only path).
+
+    sample_mode picks the bilinear-sampling lowering (same semantics either way):
+      "gather" — channels-last row gathers (ops/grid_sample.grid_sample);
+      "mm"     — dense one-hot sampling-matrix matmul (grid_sample_mm): the
+                 backward becomes a matmul instead of a scatter-add;
+      "auto"   — "mm" iff the feature map is bf16 AND the point count is large
+                 enough to amortize the dense form (N >= 4·Hf·Wf). f32 paths
+                 keep the gather (exact reference numerics, and the f32 matmul
+                 decomposition would eat the perf edge).
 
     Returns feats [B, C, N], z_condition [B, 1, N], proj_xy [B, 2, N],
     depth [B, 1, N], in_img [B, N].
@@ -122,7 +132,12 @@ def query_features(
     )
 
     grid = jnp.transpose(xy, (0, 2, 1))[:, :, None, :]  # [B, N, 1, 2]
-    feats = grid_sample(im_feat, grid)[..., 0]  # [B, C, N]
+    if sample_mode == "auto":
+        _, _, hf, wf = im_feat.shape
+        large_n = points.shape[-1] >= 4 * hf * wf
+        sample_mode = "mm" if (im_feat.dtype == jnp.bfloat16 and large_n) else "gather"
+    sample = grid_sample_mm if sample_mode == "mm" else grid_sample
+    feats = sample(im_feat, grid)[..., 0]  # [B, C, N]
     z_feat = depth_normalize(z, load_size, z_size)
     return {"feats": feats, "z_condition": z_feat, "proj_xy": xy, "depth": z, "in_img": in_img}
 
@@ -201,8 +216,17 @@ class LocalFeatureNet(nn.Module):
             feats = jnp.concatenate([feats, self.depth_conv(depth_feat, train=train)], axis=1)
         return self.image_filter(feats)
 
-    def query(self, im_feat: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray) -> dict:
-        return query_features(im_feat, points, calibs, self.cfg.load_size, self.cfg.z_size)
+    def query(
+        self,
+        im_feat: jnp.ndarray,
+        points: jnp.ndarray,
+        calibs: jnp.ndarray,
+        sample_mode: str | None = None,
+    ) -> dict:
+        return query_features(
+            im_feat, points, calibs, self.cfg.load_size, self.cfg.z_size,
+            sample_mode=sample_mode or self.cfg.query_sample_mode,
+        )
 
     def query_pair(
         self, feat_a: jnp.ndarray, feat_b: jnp.ndarray, points: jnp.ndarray, calibs: jnp.ndarray
@@ -217,6 +241,7 @@ class LocalFeatureNet(nn.Module):
         q = query_features(
             jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=1),
             points, calibs, self.cfg.load_size, self.cfg.z_size,
+            sample_mode=self.cfg.query_sample_mode,
         )
         q["feats_a"] = q["feats"][:, :ca]
         q["feats_b"] = q["feats"][:, ca:]

@@ -4,6 +4,7 @@ from e3dge_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from e3dge_tpu.ops.grid_sample import (
     grid_sample,
     grid_sample_3d,
+    grid_sample_mm,
     interpolate_bicubic,
     interpolate_bilinear,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "scaled_leaky_relu",
     "grid_sample",
     "grid_sample_3d",
+    "grid_sample_mm",
     "interpolate_bicubic",
     "interpolate_bilinear",
     "pos_encoding",

@@ -171,6 +171,11 @@ class PifuConfig:
     z_size: float = 200.0
     residual_context_feats: tuple[str, ...] = ("depth",)
     netLocal_type: str = "HGPIFuNetGANResidualResnetFC"  # released inference ckpts
+    # bilinear-sampling lowering for pixel-aligned queries: "gather" | "mm" |
+    # "auto" (mm — one-hot sampling-matrix matmul, backward is a matmul not a
+    # scatter — only for bf16 feature maps at large point counts; see
+    # ops/grid_sample.grid_sample_mm)
+    query_sample_mode: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -221,6 +226,7 @@ class E3DGEConfig:
         assert self.encoder.n_styles_decoder == self.decoder.n_latent
         assert self.encoder.pigan_tex_layer == self.encoder.n_styles_pigan
         assert self.renderer.residual_local_feats_dim == self.pifu.hourglass_dim + 45
+        assert self.pifu.query_sample_mode in ("gather", "mm", "auto")
         return self
 
     def to_dict(self) -> dict:

@@ -80,6 +80,60 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_grid_sample_mm_matches_gather():
+    # one-hot sampling-matrix matmul form (MXU lowering of the pixel-aligned
+    # query; backward is a matmul instead of a scatter-add): same zeros-padding
+    # align_corners=False semantics as grid_sample, tolerance-equal values and
+    # feature-map gradients. Chunking (chunk < N) must not change anything.
+    from e3dge_tpu.ops import grid_sample_mm
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 3, 7, 9).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 50, 1, 2).astype(np.float32) * 2.4) - 1.2)
+
+    want = np.asarray(grid_sample(x, grid))
+    got = np.asarray(grid_sample_mm(x, grid))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    got_chunked = np.asarray(grid_sample_mm(x, grid, chunk=16))
+    np.testing.assert_allclose(got_chunked, want, rtol=1e-4, atol=1e-5)
+
+    # gradient wrt the FEATURE MAP (the cycle step's trained tensor): the mm
+    # backward M^T @ ct must equal the gather form's scatter-add
+    ct = jnp.asarray(rng.randn(2, 3, 50, 1).astype(np.float32))
+    g_gather = jax.vjp(lambda q: grid_sample(q, grid), x)[1](ct)[0]
+    g_mm = jax.vjp(lambda q: grid_sample_mm(q, grid, chunk=16), x)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_gather), rtol=1e-4, atol=1e-5)
+
+
+def test_query_features_auto_mode_picks_mm_only_for_large_bf16():
+    # "auto" must keep the exact gather for f32 maps and small point counts and
+    # switch to the matmul form only for bf16 maps at N >= 4*Hf*Wf — where the
+    # two forms are bf16-tolerance equal.
+    from e3dge_tpu.models.pifu.local_net import query_features
+
+    rng = np.random.RandomState(6)
+    feat = jnp.asarray(rng.randn(1, 4, 4, 4).astype(np.float32))
+    n = 4 * 16
+    pts = jnp.asarray(rng.randn(1, 3, n).astype(np.float32) * 0.05)
+    calibs = jnp.eye(4)[None]
+
+    gather = query_features(feat, pts, calibs, sample_mode="gather")
+    auto_f32 = query_features(feat, pts, calibs, sample_mode="auto")
+    np.testing.assert_array_equal(np.asarray(auto_f32["feats"]), np.asarray(gather["feats"]))
+
+    feat16 = feat.astype(jnp.bfloat16)
+    auto_bf16 = query_features(feat16, pts, calibs, sample_mode="auto")
+    mm_bf16 = query_features(feat16, pts, calibs, sample_mode="mm")
+    np.testing.assert_array_equal(
+        np.asarray(auto_bf16["feats"], np.float32), np.asarray(mm_bf16["feats"], np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(auto_bf16["feats"], np.float32),
+        np.asarray(gather["feats"]),
+        atol=0.05,
+    )
+
+
 def test_grid_sample_higher_order_grads():
     # The whole reason grid_sample_gradfix exists in the reference: second-order
     # gradients through the sample op (eikonal-through-feature-lookup).
