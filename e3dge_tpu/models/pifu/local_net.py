@@ -40,12 +40,18 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(2, 3), keepdims=True)
-        var = jnp.var(x, axis=(2, 3), keepdims=True)
-        h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        # statistics in f32, output in the input dtype (same convention as
+        # BatchNorm/GroupNorm here): the f32 affine params must not promote a
+        # bf16 stream — this norm sits at the E1 filter entrance, and promoting
+        # here silently ran the WHOLE hourglass in f32 under the bf16 stack
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(2, 3), keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return h * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+        h = h * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+        return h.astype(x.dtype)
 
 
 class ContextConv(nn.Module):
