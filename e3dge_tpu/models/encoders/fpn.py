@@ -211,9 +211,9 @@ class HybridGradualStyleEncoderV2(nn.Module):
                 GradualStyleBlock(c.style_dim, c.fpn_pigan_geo_layer_dim, name=f"styles_pigan_{j}")(p32)
             )
         for j in range(c.pigan_geo_layer, c.pigan_tex_layer):
-            # tex styles read p64 when their spatial dim equals the p64 resolution
-            # (reference checks `== 64` against a 256 input, fpn_encoders.py:407)
-            src = p64 if c.fpn_pigan_tex_layer_dim == c.input_res // 4 else p32
+            # tex styles read p64 ONLY when tex dim is literally 64 (reference
+            # fpn_encoders.py:407 checks `== 64`); released tex dim is 128 -> p32
+            src = p64 if c.fpn_pigan_tex_layer_dim == 64 else p32
             latents.append(
                 GradualStyleBlock(c.style_dim, c.fpn_pigan_tex_layer_dim, name=f"styles_pigan_{j}")(src)
             )
@@ -222,15 +222,13 @@ class HybridGradualStyleEncoderV2(nn.Module):
         stylegan_out = None
         if c.full_pipeline:
             p128 = upsample_add(p64, TorchConv(512, 1, name="latlayer64")(taps["c128"]))
-            if c.single_decoder_layer:
-                s0 = GradualStyleBlock(c.decoder_style_dim, c.input_res // 2, name="styles_stylegan_0")(p128)
-                stylegan_out = jnp.repeat(s0[:, None], c.n_styles_decoder, axis=1)
-            else:
-                sg = []
-                for i in range(c.n_styles_decoder):
-                    spatial = c.input_res // 2 if i < 3 else c.input_res
-                    sg.append(GradualStyleBlock(c.decoder_style_dim, spatial, name=f"styles_stylegan_{i}")(p128))
-                stylegan_out = jnp.stack(sg, axis=1)
+            # The reference V2 forward uses styles_stylegan[0] on p128 repeated
+            # n_styles times REGARDLESS of single_decoder_layer (fpn_encoders.py:
+            # 417-419 — when False, blocks 1..9 exist in the ckpt but are dead).
+            # `single_decoder_layer` is therefore ckpt-layout only; the dead
+            # blocks are dropped at ingestion (torch_ckpt ignores unused keys).
+            s0 = GradualStyleBlock(c.decoder_style_dim, c.input_res // 2, name="styles_stylegan_0")(p128)
+            stylegan_out = jnp.repeat(s0[:, None], c.n_styles_decoder, axis=1)
 
         if return_featmap:
             return {"pred_latents": [thumb_out, stylegan_out], "feat_maps": p64, "p32": p32}

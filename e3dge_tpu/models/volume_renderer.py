@@ -172,7 +172,9 @@ class VolumeFeatureRenderer(nn.Module):
         """
         c = self.cfg
         res = c.out_im_res
-        rays_o, rays_d, viewdirs = get_rays(camera.focal, camera.poses, res)
+        rays_o, rays_d, viewdirs = get_rays(
+            camera.focal, camera.poses, res, static_viewdirs=c.static_viewdirs
+        )
         b = rays_o.shape[0]
 
         if z_vals is None:

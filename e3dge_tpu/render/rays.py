@@ -15,16 +15,20 @@ import jax
 import jax.numpy as jnp
 
 
-def get_rays(focal: jnp.ndarray, c2w: jnp.ndarray, res: int):
+def get_rays(focal: jnp.ndarray, c2w: jnp.ndarray, res: int, static_viewdirs: bool = False):
     """Generate world-space rays through every pixel.
 
     Args:
       focal: [B, 1, 1] focal length in pixels.
       c2w: [B, 3, 4] camera-to-world pose.
       res: image resolution (square).
+      static_viewdirs: view directions in CAMERA space (pose-independent pixel
+        dirs) instead of world space. The reference hardwires this True for the
+        renderer (`base_setup.py:54` -> `get_rays`, volume_renderer.py:832-836)
+        — the released models were trained with static viewdirs.
 
     Returns:
-      rays_o, rays_d, viewdirs: each [B, res, res, 3]; viewdirs is rays_d normalized
+      rays_o, rays_d, viewdirs: each [B, res, res, 3]; viewdirs normalized
       (the reference normalizes in `render`, volume_renderer.py:1679).
     """
     b = focal.shape[0]
@@ -41,7 +45,8 @@ def get_rays(focal: jnp.ndarray, c2w: jnp.ndarray, res: int):
     rot = c2w[:, :3, :3]  # [B, 3, 3]
     rays_d = jnp.einsum("bhwi,bji->bhwj", dirs, rot)
     rays_o = jnp.broadcast_to(c2w[:, None, None, :3, 3], rays_d.shape)
-    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    vd = dirs if static_viewdirs else rays_d
+    viewdirs = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
     return rays_o, rays_d, viewdirs
 
 

@@ -39,7 +39,11 @@ class RendererConfig:
     offset_sampling: bool = True   # eq.(3) offset sampling (vs NeRF stratified)
     perturb: bool = True           # jitter z_vals during training
     raw_noise_std: float = 0.0
-    static_viewdirs: bool = False
+    # The reference's base_setup.py:54 hardwires static_viewdirs=True for the
+    # renderer option group that reaches VolumeFeatureRenderer — the released
+    # models see CAMERA-space (pose-independent) view dirs. Golden-oracle-proven
+    # (tests/test_golden_oracle.py::test_volume_render_golden).
+    static_viewdirs: bool = True
     z_normalize: bool = True       # warp coords by 2/(2*dist_radius) -> [-1,1]
     force_background: bool = True  # put leftover transmittance on last sample
     with_sdf: bool = True          # SDF + sigmoid-Laplace density (vs raw density)
@@ -150,9 +154,17 @@ class EncoderConfig:
     n_styles_decoder: int = 10   # decoder W+ rows
     pigan_geo_layer: int = 6     # first 6 styles from p32 ("geo")
     pigan_tex_layer: int = 9
-    fpn_pigan_geo_layer_dim: int = 32
-    fpn_pigan_tex_layer_dim: int = 64
-    single_decoder_layer: bool = True  # released config: 1 decoder block repeated x10
+    # Released flags: stage scripts pass --fpn_pigan_geo_layer_dim 128; tex dim
+    # keeps the options.py:1415 default 128. These dims set the conv COUNT in
+    # each GradualStyleBlock (log2(dim) stride-2 convs, helpers.py:479) — the
+    # released ckpts carry 7-conv blocks, and tex!=64 means ALL 9 pigan styles
+    # read p32 (fpn_encoders.py:406-410). Golden-oracle-proven
+    # (tests/test_golden_oracle.py::test_fpn_encoder_golden).
+    fpn_pigan_geo_layer_dim: int = 128
+    fpn_pigan_tex_layer_dim: int = 128
+    # ckpt-layout only: False (released) builds 10 styles_stylegan blocks, but
+    # the reference forward uses block 0 repeated either way (fpn_encoders.py:417-419)
+    single_decoder_layer: bool = True
     full_pipeline: bool = True
 
 
@@ -168,7 +180,7 @@ class PifuConfig:
     norm: str = "group"
     hg_down: str = "ave_pool"
     load_size: int = 256
-    z_size: float = 200.0
+    z_size: float = 1.12   # released flag --z_size 1.12 (pifu options.py default is 200)
     residual_context_feats: tuple[str, ...] = ("depth",)
     netLocal_type: str = "HGPIFuNetGANResidualResnetFC"  # released inference ckpts
     # bilinear-sampling lowering for pixel-aligned queries: "gather" | "mm" |

@@ -1,0 +1,333 @@
+"""Bridge for running the reference's ACTUAL torch modules on CPU.
+
+The reference (`/root/reference`, read-only) is a CUDA/torch codebase whose op
+modules JIT-compile CUDA extensions at import (`project/models/op/upfirdn2d.py:9-15`,
+`op/fused_act.py:10-16`) but fall back to pure-torch CPU paths at call time
+(`upfirdn2d.py:145-148`, `fused_act.py:106-115`). Its heavier deps (pytorch3d,
+skimage, trimesh, torchvision, munch, omegaconf, configargparse, pkg_resources,
+ipdb) are only *load-bearing* on mesh/visualization/data paths we never call from
+the golden tests — so this module installs minimal import-time stubs, patches
+`torch.utils.cpp_extension.load`, and imports the reference modules for real.
+
+This is the golden ORACLE: seeded reference modules run forward on CPU, their
+state_dicts are ingested through `e3dge_tpu.utils.torch_ckpt`, and our flax
+modules must reproduce the outputs. Nothing here copies reference code — it
+executes it in place.
+
+Stub inventory (each only has to satisfy import-time name resolution):
+  configargparse  -> argparse shim (`add`/`is_config_file` are the only extras used,
+                     options.py:12-15)
+  munch.Munch     -> attr-dict (options.py:1510-1533 builds the opt tree from it)
+  pytorch3d.*     -> never-called placeholders (mesh_utils.py:3-12, stylesdf_model.py:11-12)
+  skimage.measure / trimesh -> placeholders (volume_renderer.py:8-9)
+  torchvision     -> placeholders (fpn_encoders.py:9 resnet34 — only called by the
+                     BackboneEncoder variants, not HybridGradualStyleEncoder_V2)
+  omegaconf / ipdb / pkg_resources / numpy.deprecate -> trivial shims
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+PIFU_ROOT = os.path.join(REF_ROOT, "project", "vendor", "pifu")
+
+_loaded: dict[str, object] = {}
+
+
+class _StubClass:
+    """Placeholder for a class/function that must exist at import time but is
+    never used by the golden tests. Raises only if actually called."""
+
+    def __init__(self, name="stub"):
+        self._stub_name = name
+
+    def __call__(self, *a, **k):
+        raise RuntimeError(f"reference-dep stub '{self._stub_name}' was called")
+
+    def __getattr__(self, item):
+        if item.startswith("__"):
+            raise AttributeError(item)
+        return _StubClass(f"{self._stub_name}.{item}")
+
+    def __mro_entries__(self, bases):
+        # allow `class X(stub.Module)` style subclassing if it ever appears
+        return (object,)
+
+
+def _module(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    # register as attribute of parent package stub if present
+    if "." in name:
+        parent, child = name.rsplit(".", 1)
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, m)
+    return m
+
+
+class _Munch(dict):
+    """Attr-style dict matching the subset of munch.Munch the reference uses
+    (attribute get/set, .keys(), item access, copy())."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __delattr__(self, k):
+        del self[k]
+
+    def copy(self):
+        return _Munch(self)
+
+    def toDict(self):
+        return dict(self)
+
+
+class _ConfigArgumentParser(argparse.ArgumentParser):
+    """configargparse.ArgumentParser shim: strips config-file kwargs, aliases
+    `add` to `add_argument` (options.py:12)."""
+
+    @staticmethod
+    def _strip(kw):
+        kw.pop("is_config_file", None)
+        kw.pop("is_config_file_arg", None)
+        kw.pop("env_var", None)
+        return kw
+
+    def add_argument(self, *a, **kw):
+        return super().add_argument(*a, **self._strip(kw))
+
+    def add(self, *a, **kw):
+        return self.add_argument(*a, **kw)
+
+    def add_argument_group(self, *a, **kw):
+        g = super().add_argument_group(*a, **kw)
+        orig = g.add_argument
+
+        def add_argument(*aa, **kk):
+            return orig(*aa, **self._strip(kk))
+
+        g.add_argument = add_argument
+        g.add = add_argument
+        return g
+
+
+def install_stubs() -> None:
+    """Idempotently install import-time stubs + path entries for the reference."""
+    if _loaded.get("stubs"):
+        return
+
+    # numpy 2.x removed np.deprecate (vendor/pifu/lib/geometry.py:1 imports it)
+    if not hasattr(np, "deprecate"):
+        def _deprecate(func=None, **_kw):
+            if func is None:
+                return lambda f: f
+            return func
+
+        np.deprecate = _deprecate
+
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            def parse_version(v: str):
+                parts = []
+                for tok in v.split("+")[0].split("."):
+                    num = "".join(ch for ch in tok if ch.isdigit())
+                    parts.append(int(num) if num else 0)
+                return tuple(parts)
+
+            _module("pkg_resources", parse_version=parse_version)
+
+    if "configargparse" not in sys.modules:
+        try:
+            import configargparse  # noqa: F401
+        except ImportError:
+            _module(
+                "configargparse",
+                ArgumentParser=_ConfigArgumentParser,
+                ArgParser=_ConfigArgumentParser,
+                Namespace=argparse.Namespace,
+                ArgumentDefaultsHelpFormatter=argparse.ArgumentDefaultsHelpFormatter,
+                RawDescriptionHelpFormatter=argparse.RawDescriptionHelpFormatter,
+                SUPPRESS=argparse.SUPPRESS,
+            )
+
+    if "munch" not in sys.modules:
+        try:
+            import munch  # noqa: F401
+        except ImportError:
+            _module("munch", Munch=_Munch, munchify=_Munch, DefaultMunch=_Munch)
+
+    for name in ["skimage", "trimesh", "torchvision", "omegaconf", "pytorch3d",
+                 "ipdb", "mmcv", "wandb", "lmdb", "kornia"]:
+        if name in sys.modules:
+            continue
+        try:
+            importlib.import_module(name)
+            continue
+        except ImportError:
+            pass
+        if name == "skimage":
+            sk = _module("skimage")
+            sk.measure = _module(
+                "skimage.measure",
+                marching_cubes=_StubClass("skimage.measure.marching_cubes"),
+                marching_cubes_lewiner=_StubClass("skimage.measure.marching_cubes_lewiner"),
+            )
+        elif name == "torchvision":
+            tv = _module("torchvision")
+            tv.models = _module("torchvision.models")
+            tv.models.resnet = _module(
+                "torchvision.models.resnet",
+                resnet34=_StubClass("torchvision.resnet34"),
+                resnet18=_StubClass("torchvision.resnet18"),
+                resnet50=_StubClass("torchvision.resnet50"),
+            )
+            tv.models.vgg = _module(
+                "torchvision.models.vgg", vgg16=_StubClass("torchvision.vgg16")
+            )
+            tv.transforms = _module(
+                "torchvision.transforms",
+                Compose=_StubClass("tv.Compose"),
+                Resize=_StubClass("tv.Resize"),
+                ToTensor=_StubClass("tv.ToTensor"),
+                Normalize=_StubClass("tv.Normalize"),
+                ColorJitter=_StubClass("tv.ColorJitter"),
+                RandomResizedCrop=_StubClass("tv.RandomResizedCrop"),
+                RandomHorizontalFlip=_StubClass("tv.RandomHorizontalFlip"),
+                CenterCrop=_StubClass("tv.CenterCrop"),
+            )
+            tv.transforms.functional = _module("torchvision.transforms.functional")
+            tv.utils = _module(
+                "torchvision.utils",
+                save_image=_StubClass("tv.save_image"),
+                make_grid=_StubClass("tv.make_grid"),
+            )
+        elif name == "omegaconf":
+            oc = _module("omegaconf", DictConfig=_Munch, OmegaConf=_StubClass("OmegaConf"))
+            oc.dictconfig = _module("omegaconf.dictconfig", DictConfig=_Munch)
+        elif name == "pytorch3d":
+            p3 = _module("pytorch3d")
+            p3.renderer = _module(
+                "pytorch3d.renderer",
+                FoVPerspectiveCameras=_StubClass("p3d.FoVPerspectiveCameras"),
+                MeshRasterizer=_StubClass("p3d.MeshRasterizer"),
+                MeshRenderer=_StubClass("p3d.MeshRenderer"),
+                PointLights=_StubClass("p3d.PointLights"),
+                RasterizationSettings=_StubClass("p3d.RasterizationSettings"),
+                SoftPhongShader=_StubClass("p3d.SoftPhongShader"),
+                TexturesVertex=_StubClass("p3d.TexturesVertex"),
+                look_at_view_transform=_StubClass("p3d.look_at_view_transform"),
+                HardPhongShader=_StubClass("p3d.HardPhongShader"),
+                BlendParams=_StubClass("p3d.BlendParams"),
+            )
+            p3.structures = _module("pytorch3d.structures", Meshes=_StubClass("p3d.Meshes"))
+            p3.transforms = _module(
+                "pytorch3d.transforms",
+                matrix_to_euler_angles=_StubClass("p3d.matrix_to_euler_angles"),
+                euler_angles_to_matrix=_StubClass("p3d.euler_angles_to_matrix"),
+            )
+            p3.ops = _module("pytorch3d.ops")
+            p3.io = _module("pytorch3d.io", load_objs_as_meshes=_StubClass("p3d.load_objs"))
+        elif name == "ipdb":
+            import pdb
+
+            _module("ipdb", set_trace=pdb.set_trace)
+        else:
+            _module(name)
+
+    # Python 3.12 dataclasses reject unhashable defaults (data_util.py:39-40 uses
+    # np.array field defaults, legal on the reference's Python). Downgrade to
+    # default_factory transparently.
+    import dataclasses as _dc
+
+    if not getattr(_dc, "_e3dge_golden_patch", False):
+        _orig_get_field = _dc._get_field
+
+        def _get_field(cls, a_name, a_type, default_kw_only):
+            try:
+                return _orig_get_field(cls, a_name, a_type, default_kw_only)
+            except ValueError as e:
+                if "mutable default" not in str(e):
+                    raise
+                default = getattr(cls, a_name)
+                setattr(cls, a_name, _dc.field(default_factory=lambda d=default: d))
+                return _orig_get_field(cls, a_name, a_type, default_kw_only)
+
+        _dc._get_field = _get_field
+        _dc._e3dge_golden_patch = True
+
+    # CUDA JIT loader: project/models/op/{upfirdn2d,fused_act}.py call
+    # torch.utils.cpp_extension.load at import; the CPU fallbacks never touch
+    # the returned handle.
+    import torch.utils.cpp_extension as cppext
+
+    if not getattr(cppext, "_e3dge_golden_patch", False):
+        cppext.load = lambda *a, **k: _StubClass("cpp_extension.load result")
+        cppext._e3dge_golden_patch = True
+
+    for p in (REF_ROOT, PIFU_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    _loaded["stubs"] = True
+
+
+def import_ref(modname: str):
+    """Import a reference module (e.g. 'project.utils.volume_renderer') with
+    stubs installed."""
+    install_stubs()
+    return importlib.import_module(modname)
+
+
+def reference_opt(tmpdir: str, args: list[str] | None = None):
+    """Build the reference's full default option tree via its own
+    `setup_opts` (utils/setup/base_setup.py:21-91) — configargparse defaults,
+    cross-copied groups and all. `tmpdir` receives the results dirs it creates."""
+    install_stubs()
+    base_setup = import_ref("project.utils.setup.base_setup")
+    argv = ["--checkpoints_dir", os.path.join(tmpdir, "ckpt"), "--expname", "golden"]
+    if args:
+        argv += args
+    return base_setup.setup_opts(args=argv)
+
+
+def seed_module(module, seed: int = 0, zero_scale: float = 0.02):
+    """Deterministically re-randomize every param of a torch module while
+    PRESERVING each param's init mean/std. Scale preservation matters: the
+    FiLM-SIREN stack is chaotic (|gamma|~30 per layer), so params far from
+    their init distribution blow the f32 comparison up exponentially. Params
+    initialized constant/zero (norm scales, ResnetBlockFC.fc_1, HFGI zero
+    convs) get mean + N(0, zero_scale) noise so mapping bugs can't hide
+    behind zeros."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for _, p in sorted(module.named_parameters()):
+            std = float(p.detach().std()) if p.numel() > 1 else 0.0
+            mean = float(p.detach().mean())
+            if not np.isfinite(std) or std == 0.0:
+                std = zero_scale
+            noise = torch.randn(p.shape, generator=g, dtype=torch.float32)
+            p.copy_(noise * std + mean)
+    return module
+
+
+def sd_numpy(module) -> dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

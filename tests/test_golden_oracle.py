@@ -1,0 +1,388 @@
+"""Golden-oracle parity tests: run the reference's ACTUAL torch modules on CPU
+with seeded weights, ingest their state_dicts through `torch_ckpt`, and assert
+our flax modules reproduce the outputs (VERDICT r4 Missing #1).
+
+Unlike `utils/parity.py` (independent numpy re-implementations), the oracle here
+is `/root/reference`'s own code, imported via tests/golden/refbridge.py with
+import-time stubs for its unavailable deps. Module families covered:
+
+  SirenGenerator            volume_renderer.py:136   (field query)
+  VolumeFeatureRenderer     volume_renderer.py:636   (end-to-end thumb render)
+  Decoder                   stylesdf_model.py:587    (G1 upsampler)
+  HybridGradualStyleEncoder_V2  fpn_encoders.py:266  (E0)
+  HGPIFuNetGANResidualResnetFC  HGPIFuGANNetResidualInputResnetFC.py:19 (E1)
+  ResidualAligner / Fuse_sft_MLP  alignment_old.py:316, sft.py:84 (ADA/SFT)
+
+Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
+rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.golden import refbridge as rb
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="session")
+def refopt(tmp_path_factory):
+    """The reference's own default option tree (setup_opts, base_setup.py:21)."""
+    return rb.reference_opt(str(tmp_path_factory.mktemp("refckpt")))
+
+
+def _prefix_sd(sd: dict, prefix: str) -> dict:
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def _ingest_standalone(wrapped_vars: dict, sds: dict) -> dict:
+    from e3dge_tpu.utils.torch_ckpt import ingest_variables
+
+    new_vars, missing = ingest_variables(wrapped_vars, sds, strict=False)
+    assert not missing, f"{len(missing)} unmapped: {missing[:8]}"
+    return new_vars
+
+
+def _t(x: np.ndarray) -> "torch.Tensor":
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+# ---------------------------------------------------------------- 1. SIREN field
+
+
+def test_siren_field_golden(refopt):
+    """Our SirenGenerator == the reference's, on its own seeded weights.
+
+    Reference forward: volume_renderer.py:240-264 (split pts/views, backbone,
+    geo + tex heads, concat [rgb, sdf, features])."""
+    vr = rb.import_ref("project.utils.volume_renderer")
+    ropt = refopt.rendering
+
+    torch.manual_seed(0)
+    ref = vr.SirenGenerator(ropt, D=8, W=256, style_dim=256)
+    rb.seed_module(ref, seed=11)
+    ref.eval()
+
+    rng = np.random.RandomState(5)
+    B, H, W, S = 2, 4, 4, 4  # reference FiLMSiren broadcasts gamma as [B,1,1,1,C]
+    pts_warped = rng.uniform(-1, 1, (B, H, W, S, 3)).astype(np.float32)
+    views = rng.randn(B, H, W, S, 3).astype(np.float32)
+    views /= np.linalg.norm(views, axis=-1, keepdims=True)
+    styles = (0.3 * rng.randn(B, 9, 256)).astype(np.float32)
+
+    net_inputs = _t(np.concatenate([pts_warped, views], -1))
+    with torch.no_grad():
+        ref_out = ref(net_inputs, _t(styles)).numpy()
+
+    from e3dge_tpu.models.siren import SirenGenerator
+
+    ours = SirenGenerator(depth=8, width=256, style_dim=256)
+    v0 = ours.init(
+        jax.random.key(0), jnp.zeros((B, H, W, S, 3)), jnp.zeros((B, H, W, S, 3)), jnp.zeros((B, 9, 256))
+    )
+    wrapped = {"params": {"generator": {"renderer": {"network": v0["params"]}}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "renderer.network.")}
+    new_vars = _ingest_standalone(wrapped, sds)
+    params = new_vars["params"]["generator"]["renderer"]["network"]
+
+    out = np.asarray(ours.apply({"params": params}, pts_warped, views, styles))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=3e-3, rtol=0)
+
+
+# ---------------------------------------------------------------- 2. end-to-end render
+
+
+def test_volume_render_golden(refopt):
+    """End-to-end thumb render: rays + z-sampling + field + SDF integration.
+
+    Reference: VolumeFeatureRenderer.forward (volume_renderer.py:1865) in test
+    mode (perturb=0) on explicit cameras. Note base_setup.py:54 hardwires
+    static_viewdirs=True — the released models see CAMERA-space viewdirs."""
+    vr = rb.import_ref("project.utils.volume_renderer")
+
+    R, S = 16, 8
+    ropt = rb._Munch(refopt.rendering)
+    ropt.N_samples = S
+    ropt.enable_local_model = False
+    ropt.return_sdf = True
+    ropt.return_xyz = True  # stage scripts set --return_xyz; enables depth/mask output
+
+    torch.manual_seed(0)
+    ref = vr.VolumeFeatureRenderer(ropt, style_dim=256, out_im_res=R, mode="test")
+    rb.seed_module(ref, seed=21)
+    ref.eval()
+
+    # cameras from our generator; identical matrices feed both sides. Angles are
+    # deliberately large so camera-space (static) vs world viewdirs diverge hard —
+    # this test fails if static_viewdirs handling is wrong on either side.
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    azim = jnp.asarray([0.5, -0.4])
+    elev = jnp.asarray([0.3, -0.25])
+    cam = camera_params_from_angles(azim, elev, R, fov_ang=6.0, dist_radius=0.12)
+
+    rng = np.random.RandomState(7)
+    styles = (0.3 * rng.randn(2, 9, 256)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            _t(cam.poses), _t(np.asarray(cam.focal)), _t(np.asarray(cam.near)),
+            _t(np.asarray(cam.far)), styles=_t(styles),
+        )
+
+    from e3dge_tpu.models.volume_renderer import VolumeFeatureRenderer
+    from e3dge_tpu.utils.config import RendererConfig
+
+    cfg = RendererConfig(depth=8, width=256, style_dim=256, out_im_res=R, n_samples=S, perturb=False)
+    ours = VolumeFeatureRenderer(cfg)
+    v0 = ours.init({"params": jax.random.key(0)}, cam, jnp.asarray(styles))
+    wrapped = {"params": {"generator": {"renderer": v0["params"]}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "renderer.")}
+    new_vars = _ingest_standalone(wrapped, sds)
+    out = ours.apply({"params": new_vars["params"]["generator"]["renderer"]}, cam, jnp.asarray(styles))
+
+    np.testing.assert_allclose(
+        np.asarray(out["gen_thumb_imgs"]), ref_out["gen_thumb_imgs"].numpy(), atol=3e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["features"]), ref_out["features"].numpy(), atol=3e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), ref_out["depth"].numpy().reshape(out["depth"].shape), atol=3e-3, rtol=0
+    )
+
+
+# ---------------------------------------------------------------- 3. decoder G1
+
+
+def test_decoder_golden(refopt):
+    """G1 StyleGAN2 upsampler vs the reference Decoder (stylesdf_model.py:587-797)
+    at size 256 (in 64): mapping offset indexing, StyledConv pyramid, ToRGB skips,
+    explicit noise on both sides."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+    mopt = rb._Munch(refopt.model)
+    mopt.size = 256
+    mopt.renderer_spatial_output_dim = 64
+    # Generator.__init__ injects this before building Decoder (stylesdf_model.py:814)
+    mopt.feature_encoder_in_channels = refopt.rendering.width
+
+    torch.manual_seed(0)
+    ref = sm.Decoder(mopt)
+    rb.seed_module(ref, seed=31)
+    ref.eval()
+
+    rng = np.random.RandomState(9)
+    B = 1
+    features = (0.5 * rng.randn(B, 256, 64, 64)).astype(np.float32)
+    latent = (0.3 * rng.randn(B, ref.n_latent, 512)).astype(np.float32)
+    noise = [
+        (0.5 * rng.randn(1, 1, r, r)).astype(np.float32)
+        for r in [64, 128, 128, 256, 256]
+    ]
+
+    with torch.no_grad():
+        ref_img, _ = ref(
+            _t(features), [_t(latent)], input_is_latent=True,
+            noise=[_t(n) for n in noise], randomize_noise=False,
+        )
+    ref_img = ref_img.numpy()
+
+    from e3dge_tpu.models.decoder import Decoder
+    from e3dge_tpu.utils.config import DecoderConfig
+
+    cfg = DecoderConfig(
+        size=256, style_dim=512, channel_multiplier=mopt.channel_multiplier,
+        channel_base=512, in_res=64, in_channels=256,
+    )
+    ours = Decoder(cfg)
+    jn = [jnp.asarray(n) for n in noise]
+    v0 = ours.init(
+        {"params": jax.random.key(0)}, jnp.asarray(features), jnp.asarray(latent),
+        input_is_latent=True, noise=jn,
+    )
+    wrapped = {"params": {"generator": {"decoder": v0["params"]}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "decoder.")}
+    new_vars = _ingest_standalone(wrapped, sds)
+    img, _ = ours.apply(
+        {"params": new_vars["params"]["generator"]["decoder"]},
+        jnp.asarray(features), jnp.asarray(latent), input_is_latent=True, noise=jn,
+    )
+    np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-4, rtol=0)
+
+
+# ---------------------------------------------------------------- 4. E0 FPN encoder
+
+
+def test_fpn_encoder_golden(refopt):
+    """E0 vs reference HybridGradualStyleEncoder_V2 (fpn_encoders.py:266-432) at
+    the released config: --full_pipeline, fpn dims 128/128 (all 9 pigan styles
+    read p32), single_decoder_layer=False. The reference forward uses ONLY
+    styles_stylegan[0] repeated (fpn_encoders.py:417-419) — blocks 1..9 are dead
+    ckpt weights; this test proves our block-0-repeat forward matches."""
+    enc = rb.import_ref("project.models.encoders.fpn_encoders")
+    topt = rb._Munch(refopt.training)
+    topt.full_pipeline = True  # released scripts pass --full_pipeline
+
+    torch.manual_seed(0)
+    ref = enc.HybridGradualStyleEncoder_V2(50, "ir_se", -1, topt)
+    rb.seed_module(ref, seed=61)
+    ref.eval()
+
+    rng = np.random.RandomState(19)
+    x = rng.uniform(-1, 1, (1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref_thumb, ref_sg = ref(_t(x))
+
+    from e3dge_tpu.models.encoders.fpn import HybridGradualStyleEncoderV2
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    cfg = EncoderConfig(single_decoder_layer=False)
+    ours = HybridGradualStyleEncoderV2(cfg)
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {
+        "params": {"encoder": v0["params"]},
+        "batch_stats": {"encoder": v0["batch_stats"]},
+    }
+    new_vars = _ingest_standalone(wrapped, {"encoder": rb.sd_numpy(ref)})
+    thumb, sg = ours.apply(
+        {"params": new_vars["params"]["encoder"], "batch_stats": new_vars["batch_stats"]["encoder"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(thumb), ref_thumb.numpy(), atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(sg), ref_sg.numpy(), atol=1e-3, rtol=0)
+
+
+# ---------------------------------------------------------------- 5. E1 local PIFu net
+
+
+def test_local_net_golden(refopt):
+    """E1 vs reference HGPIFuNetGANResidualResnetFC (HGPIFuGANNetResidualInput
+    ResnetFC.py:19-104): residual+depth context convs -> stacked hourglass filter,
+    perspective pixel-aligned query (geometry.perspective + index + DepthNormalizer),
+    and the zero-init ResnetBlockFC tex-modulation head."""
+    lm = rb.import_ref("lib.model")
+    popt = rb._Munch(refopt.pifu)
+    popt.hg_input_channel = 64  # released flag (demo_view_synthesis.sh:9)
+    ropt = rb._Munch(refopt.rendering)
+    ropt.L_pred_tex_modulations = True  # stage-2 tex SFT head on
+
+    torch.manual_seed(0)
+    ref = lm.HGPIFuNetGANResidualResnetFC(popt, ropt, "projection")
+    rb.seed_module(ref, seed=71)
+    ref.eval()
+
+    rng = np.random.RandomState(23)
+    B, N = 2, 64
+    resid = rng.uniform(-1, 1, (B, 3, 256, 256)).astype(np.float32)
+    depth = rng.uniform(0.8, 1.2, (B, 1, 256, 256)).astype(np.float32)
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    cam = camera_params_from_angles(
+        jnp.asarray([0.2, -0.15]), jnp.asarray([0.1, -0.05]), 64, fov_ang=6.0, dist_radius=0.12
+    )
+    calibs = np.asarray(cam.calibs, np.float32)
+    points = (0.2 * rng.randn(B, 3, N)).astype(np.float32)
+
+    with torch.no_grad():
+        ref.filter(_t(resid), depth_feat=_t(depth), feat_key="ref_view")
+        im_feat_ref = ref.im_feat_dict["ref_view"][0].numpy()  # [B, 256, 64, 64]
+        q_ref = ref.query(_t(points), _t(calibs), feat_key="ref_view", return_feat_only=True)
+        feats_in = (0.5 * rng.randn(B, N, 301)).astype(np.float32)
+        mod_ref = ref.local_feat_to_tex_modulations_linear(_t(feats_in)).numpy()
+
+    from e3dge_tpu.models.pifu.local_net import LocalFeatureNet
+    from e3dge_tpu.utils.config import PifuConfig
+
+    cfg = PifuConfig(query_sample_mode="gather")
+    ours = LocalFeatureNet(cfg)
+    v0 = ours.init(
+        jax.random.key(0), jnp.asarray(resid), jnp.asarray(depth),
+        jnp.asarray(points), jnp.asarray(calibs),
+    )
+    new_vars = _ingest_standalone({"params": {"local": v0["params"]}}, {"local": rb.sd_numpy(ref)})
+    var = {"params": new_vars["params"]["local"]}
+
+    im_feat = ours.apply(var, jnp.asarray(resid), jnp.asarray(depth), method=LocalFeatureNet.filter)
+    np.testing.assert_allclose(np.asarray(im_feat), im_feat_ref, atol=3e-3, rtol=0)
+
+    q = ours.apply(var, im_feat, jnp.asarray(points), jnp.asarray(calibs), method=LocalFeatureNet.query)
+    np.testing.assert_allclose(np.asarray(q["proj_xy"]), q_ref["proj_xy"].numpy(), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(q["in_img"]), q_ref["in_img"].numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(q["z_condition"]), q_ref["z_condition"].numpy(), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(q["feats"]), q_ref["feats"].numpy(), atol=3e-3, rtol=0)
+
+    alpha, beta = ours.apply(var, jnp.asarray(feats_in), method=LocalFeatureNet.tex_modulations)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(alpha), np.asarray(beta)], -1), mod_ref, atol=2e-4, rtol=0
+    )
+
+
+# ---------------------------------------------------------------- 6. ADA aligner + SFT fusion
+
+
+def test_ada_aligner_golden(refopt):
+    """ADA U-net vs reference ResidualAligner (alignment_old.py:316-398), batch
+    norm variant (the reference default aligner_norm_type='batch'), eval mode."""
+    al = rb.import_ref("project.models.helper_modules.alignment_old")
+    topt = rb._Munch(refopt.training)
+    assert topt.aligner_norm_type == "batch" and not topt.aligner_demodulate
+
+    torch.manual_seed(0)
+    ref = al.ResidualAligner(topt)
+    rb.seed_module(ref, seed=41)
+    ref.eval()
+
+    rng = np.random.RandomState(13)
+    x = rng.uniform(-1, 1, (2, 6, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(_t(x)).numpy()
+
+    from e3dge_tpu.models.align import ResidualAligner
+
+    ours = ResidualAligner(norm="batch")
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {
+        "params": {"grid_align": v0["params"]},
+        "batch_stats": {"grid_align": v0["batch_stats"]},
+    }
+    new_vars = _ingest_standalone(wrapped, {"grid_align": rb.sd_numpy(ref)})
+    out = ours.apply(
+        {"params": new_vars["params"]["grid_align"], "batch_stats": new_vars["batch_stats"]["grid_align"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=0)
+
+
+def test_fuse_sft_golden(refopt):
+    """SFT MLP fusion vs reference Fuse_sft_MLP (sft.py:84-109)."""
+    sft = rb.import_ref("project.models.helper_modules.sft")
+
+    torch.manual_seed(0)
+    ref = sft.Fuse_sft_MLP(in_ch=257, out_ch=256)
+    rb.seed_module(ref, seed=51)
+    ref.eval()
+
+    rng = np.random.RandomState(17)
+    enc = (0.5 * rng.randn(2, 64, 257)).astype(np.float32)
+    dec = (0.5 * rng.randn(2, 64, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(_t(enc), _t(dec), w=1).numpy()
+
+    from e3dge_tpu.models.align import FuseSftMLP
+
+    ours = FuseSftMLP(out_ch=256)
+    v0 = ours.init(jax.random.key(0), jnp.asarray(enc), jnp.asarray(dec))
+    wrapped = {"params": {"fuse_sft_block": v0["params"]}}
+    new_vars = _ingest_standalone(wrapped, {"fuse_sft_block": rb.sd_numpy(ref)})
+    out = ours.apply({"params": new_vars["params"]["fuse_sft_block"]}, jnp.asarray(enc), jnp.asarray(dec))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=0)
