@@ -122,8 +122,10 @@ def query_features(
                  backward becomes a matmul instead of a scatter-add;
       "auto"   — "mm" iff the feature map is bf16 AND the point count is large
                  enough to amortize the dense form (N >= 4·Hf·Wf). f32 paths
-                 keep the gather (exact reference numerics, and the f32 matmul
-                 decomposition would eat the perf edge).
+                 keep the gather: measured v5e at the cycle shape (r5), f32 mm
+                 loses forward-only (36.9 vs 28.5 ms) and only wins when
+                 differentiated (fwd+bwd 37.0 vs 49.5 ms) — auto cannot see
+                 differentiation, so f32 training opts in via "mm" explicitly.
 
     Returns feats [B, C, N], z_condition [B, 1, N], proj_xy [B, 2, N],
     depth [B, 1, N], in_img [B, N].

@@ -87,11 +87,16 @@ def grid_sample_mm(x: jnp.ndarray, grid: jnp.ndarray, chunk: int = 16384) -> jnp
     bwd-wrt-features 7.0 vs 32.1 ms standalone.
 
     Intended for bf16 feature maps (the MXU multiply is input-exact for bf16;
-    f32 inputs go through the HIGHEST-precision multi-pass decomposition and
-    lose the perf edge — `query_features`' "auto" mode only picks this form for
-    bf16). The one-hot matrix is materialized per `chunk` of N to bound the
-    [B, chunk, H*W] intermediate. Tolerance-equal to `grid_sample` (weights are
-    cast to the feature dtype); accumulation is f32.
+    f32 inputs go through the HIGHEST-precision multi-pass decomposition).
+    f32 at the same shape, measured v5e (r5): fwd-only mm LOSES (36.9 vs
+    28.5 ms) but fwd+bwd mm WINS (37.0 vs 49.5 ms — the scatter-add still
+    dominates the f32 gather backward). `query_features`' "auto" mode keeps the
+    bf16-only gate because it cannot see whether the call will be
+    differentiated; f32 *training* runs that want the mm backward should set
+    `query_sample_mode="mm"` explicitly (PifuConfig). The one-hot matrix is
+    materialized per `chunk` of N to bound the [B, chunk, H*W] intermediate.
+    Tolerance-equal to `grid_sample` (weights are cast to the feature dtype);
+    accumulation is f32.
     """
     B, C, H, W = x.shape
     gx = grid[..., 0].reshape(B, -1)
