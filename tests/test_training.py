@@ -314,8 +314,16 @@ def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
     state8 = replicate(state8, mesh)
     ml8 = replicate(ml, mesh)
     step8 = jax.jit(make_cycle_step(model, lambdas, tx, constrain_fn=constrain_fn), static_argnums=(3,))
-    _, m8 = step8(state8, ml8, jax.random.key(5), 4)
 
+    # AOT-compile so the SPMD-partitioned HLO can be inspected: the sharded
+    # program must contain real collectives (grad all-reduce over dp — the DDP
+    # equivalence, reference trainer.py:1730-1780 DDP wrapping), not a
+    # degenerate fully-replicated lowering.
+    compiled = step8.lower(state8, ml8, jax.random.key(5), 4).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "sharded cycle step compiled without any all-reduce collective"
+
+    _, m8 = compiled(state8, ml8, jax.random.key(5))
     np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-4)
 
 
