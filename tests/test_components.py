@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from e3dge_tpu.models.encoders.factory import set_encoder
 from e3dge_tpu.training import losses as L
@@ -116,6 +117,24 @@ def test_encoder_variants_restyle_and_e4e():
     v0 = enc0.init(jax.random.key(1), x)
     thumb0, _ = enc0.apply(v0, x)
     np.testing.assert_allclose(np.asarray(thumb0[:, 0]), np.asarray(thumb0[:, 1]), atol=1e-6)
+
+    # training-time anneal: per-call traced stage, ONE compile for all stages
+    # (reference anneals via set_progressive_stage, e4e_encoders.py:91-93)
+    from e3dge_tpu.models.encoders.variants import e4e_progressive_stage
+
+    apply_j = jax.jit(lambda vv, xx, s: enc0.apply(vv, xx, stage=s))
+    t_s0, _ = apply_j(v0, x, e4e_progressive_stage(0, every=10))
+    t_s1, _ = apply_j(v0, x, e4e_progressive_stage(10, every=10))
+    np.testing.assert_allclose(np.asarray(t_s0), np.asarray(thumb0), atol=1e-6)
+    # stage 1 activates row 1's delta; row 2 remains the base
+    assert not np.allclose(np.asarray(t_s1[:, 1]), np.asarray(t_s1[:, 0]))
+    np.testing.assert_allclose(np.asarray(t_s1[:, 2]), np.asarray(t_s1[:, 0]), atol=1e-6)
+
+    # HybridBackboneEncoder must refuse return_featmap (no FPN pyramid)
+    enc_bb = set_encoder("HybridBackboneEncoder", cfg.encoder)
+    v_bb = enc_bb.init(jax.random.key(1), x)
+    with pytest.raises(ValueError, match="no FPN feature maps"):
+        enc_bb.apply(v_bb, x, return_featmap=True)
 
 
 def test_siren_ddf_and_feature_aligner():
