@@ -7,12 +7,16 @@ the reference's stage 2 is built for (e3dge_2dalignonly_runner.py:354-465): the
 E1-conditioned cross-view reconstruction must LEARN to beat the stage-1 global
 baseline on a HELD-OUT batch of synthetic id-paired views.
 
-Held-out metric (computed with train=False at fixed eval keys, never trained on):
-  l2_local  — E1-conditioned query-view thumb render vs the GT thumb
-  l2_global — the pure global (stage-1 latents only) render at the same view
+Held-out metrics (computed with train=False at fixed eval keys, never trained on):
+  l2_local_full  — E1-conditioned query-view FULL-RES render vs the GT image
+  l2_global_full — the pure global (stage-1 latents only) full render, same view
+  l2_local / l2_global — same pair at thumb resolution (auxiliary: on the tiny
+    random-init frozen GAN the thumbs are nearly latent-invariant, so this pair
+    has no dynamic range — the training effect lives in the full-res path,
+    where the E1 residual features condition the decoder via SFT fusion)
 At iteration 0 the E1 branch is a provable no-op (zero-init modulation heads),
-so l2_local == l2_global; convergence = l2_local dropping below l2_global and
-its own iter-0 value.
+so l2_local_full == the fusion-off render; convergence = l2_local_full dropping
+below l2_global_full and below its own iter-0 value.
 
 Variants record the occlusion-weighting ablation on the SAME seed — exact
 re-integration vs the texture-mode light-field approximation — settling whether
@@ -111,13 +115,19 @@ def make_eval(model, ml, variant: str, bs: int = 4):
         gt_thumb = swap_tree(batch["thumb_images"])
         local = que_out["res_render_out"]["gen_thumb_imgs"]
         glob = que_out["que_info"]["gen_thumb_imgs"]
+        # stage-1 baseline at the query view: full decode from the global
+        # latents alone, no E1 conditioning (what a pure-global model renders)
+        glob_full = model.apply(
+            variables, ref_info["pred_latents"], que_cam,
+            train=False, method=E3DGE.latent2image, rngs={"noise": k_eval},
+        )["gen_imgs"]
+        gt_full = swap_tree(batch["images"])
         l2 = lambda a, b: jnp.mean((a - b) ** 2)
         return {
             "l2_local": l2(local, gt_thumb),
             "l2_global": l2(glob, gt_thumb),
-            "l2_local_full": l2(
-                que_out["res_render_out"]["gen_imgs"], swap_tree(batch["images"])
-            ),
+            "l2_local_full": l2(que_out["res_render_out"]["gen_imgs"], gt_full),
+            "l2_global_full": l2(glob_full, gt_full),
         }
 
     return eval_fn
@@ -135,8 +145,9 @@ def run_variant(variant: str, iters: int, eval_every: int, bs: int):
         row = {k: float(v) for k, v in m.items()}
         row["iter"] = i
         curve.append(row)
-        print(f"[{variant}] iter {i}: local {row['l2_local']:.5f} "
-              f"global {row['l2_global']:.5f} full {row['l2_local_full']:.5f}", flush=True)
+        print(f"[{variant}] iter {i}: full_local {row['l2_local_full']:.5f} "
+              f"full_global {row['l2_global_full']:.5f} "
+              f"thumb {row['l2_local']:.5f}/{row['l2_global']:.5f}", flush=True)
 
     t0 = time.time()
     record(0)
@@ -171,13 +182,13 @@ def main():
     out.write_text(json.dumps({"iters": args.iters, "curves": results}, indent=1))
     print(f"wrote {out}")
 
-    # convergence verdicts
+    # convergence verdicts (full-res path — where the E1 training effect lives)
     for v, curve in results.items():
         first, last = curve[0], curve[-1]
-        improved = last["l2_local"] < first["l2_local"]
-        beats = last["l2_local"] < last["l2_global"]
-        print(f"[{v}] local {first['l2_local']:.5f} -> {last['l2_local']:.5f} "
-              f"(improved={improved}); vs global {last['l2_global']:.5f} "
+        improved = last["l2_local_full"] < first["l2_local_full"]
+        beats = last["l2_local_full"] < last["l2_global_full"]
+        print(f"[{v}] full {first['l2_local_full']:.5f} -> {last['l2_local_full']:.5f} "
+              f"(improved={improved}); vs global {last['l2_global_full']:.5f} "
               f"(beats_baseline={beats})")
 
 
