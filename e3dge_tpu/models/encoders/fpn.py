@@ -86,14 +86,19 @@ class TorchConv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d on NCHW with cross-replica stat sync via axis_name."""
+    """BatchNorm2d with cross-replica stat sync via axis_name. NCHW by default
+    (transposes around flax's channels-last norm); `nhwc=True` skips the
+    transposes for channels-last streams — params/stats are per-channel either
+    way, so the flag never changes the checkpoint tree."""
 
     channels: int
     axis_name: str | None = None
+    nhwc: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = jnp.transpose(x, (0, 2, 3, 1))
+        if not self.nhwc:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -102,7 +107,9 @@ class BatchNorm(nn.Module):
             dtype=x.dtype,  # output dtype; statistics are still computed in f32
             name="bn",
         )(x)
-        return jnp.transpose(x, (0, 3, 1, 2))
+        if not self.nhwc:
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        return x
 
 
 class SEModule(nn.Module):

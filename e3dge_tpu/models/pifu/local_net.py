@@ -29,14 +29,19 @@ from e3dge_tpu.render.camera import project_points
 from e3dge_tpu.utils.config import PifuConfig
 
 
-def _reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+def _reflect_pad(x: jnp.ndarray, p: int, nhwc: bool = False) -> jnp.ndarray:
+    if nhwc:
+        return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
     return jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="reflect")
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=True, no running stats) on NCHW."""
+    """InstanceNorm2d(affine=True, no running stats). NCHW by default; set
+    `nhwc=True` for channels-last streams (params are per-channel vectors either
+    way, so the flag changes layout only, never the checkpoint tree)."""
 
     channels: int
+    nhwc: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,13 +49,15 @@ class InstanceNorm(nn.Module):
         # BatchNorm/GroupNorm here): the f32 affine params must not promote a
         # bf16 stream — this norm sits at the E1 filter entrance, and promoting
         # here silently ran the WHOLE hourglass in f32 under the bf16 stack
+        spatial = (1, 2) if self.nhwc else (2, 3)
+        cshape = (1, 1, 1, -1) if self.nhwc else (1, -1, 1, 1)
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
-        var = jnp.var(xf, axis=(2, 3), keepdims=True)
+        mean = jnp.mean(xf, axis=spatial, keepdims=True)
+        var = jnp.var(xf, axis=spatial, keepdims=True)
         h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        h = h * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+        h = h * scale.reshape(cshape) + bias.reshape(cshape)
         return h.astype(x.dtype)
 
 
@@ -60,31 +67,43 @@ class ContextConv(nn.Module):
 
     norm='in' is the released ResnetFC variant (InstanceNorm); norm='bn' is the
     HGPIFuNetGANResidual variant (helpers.py ResidualBlock default BatchNorm2d,
-    HGPIFuGANNetResidualInput.py:37-48)."""
+    HGPIFuGANNetResidualInput.py:37-48).
+
+    `nhwc=True` runs channels-last end-to-end (same param tree: ConvNHWC shares
+    TorchConv's inner "conv", norm params are per-channel vectors)."""
 
     dim: int = 32
     norm: str = "in"
     axis_name: str | None = None
+    nhwc: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from e3dge_tpu.models.encoders.fpn import BatchNorm
+        from e3dge_tpu.models.pifu.hourglass import ConvNHWC
+
+        conv = ConvNHWC if self.nhwc else TorchConv
 
         def norm(h, name):
             if self.norm == "bn":
-                return BatchNorm(self.dim, axis_name=self.axis_name, name=name)(h, train=train)
-            return InstanceNorm(self.dim, name=name)(h)
+                return BatchNorm(self.dim, axis_name=self.axis_name, nhwc=self.nhwc, name=name)(
+                    h, train=train
+                )
+            return InstanceNorm(self.dim, nhwc=self.nhwc, name=name)(h)
 
-        h = TorchConv(self.dim, 3, padding=0, use_bias=False, name="conv_in")(_reflect_pad(x, 1))
+        def rpad(h):
+            return _reflect_pad(h, 1, nhwc=self.nhwc)
+
+        h = conv(self.dim, 3, padding=0, use_bias=False, name="conv_in")(rpad(x))
         # ResidualBlock: norm -> relu -> conv3x3(reflect) -> norm -> relu -> conv3x3
         r = norm(h, "rb_norm1")
         r = jax.nn.relu(r)
-        r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv1")(_reflect_pad(r, 1))
+        r = conv(self.dim, 3, padding=0, use_bias=False, name="rb_conv1")(rpad(r))
         r = norm(r, "rb_norm2")
         r = jax.nn.relu(r)
-        r = TorchConv(self.dim, 3, padding=0, use_bias=False, name="rb_conv2")(_reflect_pad(r, 1))
+        r = conv(self.dim, 3, padding=0, use_bias=False, name="rb_conv2")(rpad(r))
         h = h + r
-        return TorchConv(self.dim, 1, use_bias=False, name="conv_out")(h)
+        return conv(self.dim, 1, use_bias=False, name="conv_out")(h)
 
 
 def depth_normalize(z: jnp.ndarray, load_size: int = 256, z_size: float = 1.12) -> jnp.ndarray:
@@ -187,13 +206,20 @@ class LocalFeatureNet(nn.Module):
     def setup(self):
         c = self.cfg
         norm = "bn" if self.variant == "bn" else "in"
-        self.residual_conv = ContextConv(32, norm=norm, axis_name=self.axis_name, name="residual_conv")
+        # the whole filter path runs NHWC internally (conv-native TPU layout):
+        # one transpose in, one out, instead of a pair around every conv/norm
+        self.residual_conv = ContextConv(
+            32, norm=norm, axis_name=self.axis_name, nhwc=True, name="residual_conv"
+        )
         if "depth" in c.residual_context_feats:
-            self.depth_conv = ContextConv(32, norm=norm, axis_name=self.axis_name, name="depth_conv")
+            self.depth_conv = ContextConv(
+                32, norm=norm, axis_name=self.axis_name, nhwc=True, name="depth_conv"
+            )
         self.image_filter = HGFilter(
             num_stack=c.num_stack,
             num_hourglass=c.num_hourglass,
             hourglass_dim=c.hourglass_dim,
+            nhwc_io=True,
             name="image_filter",
         )
         # zero-init: modulations are an exact no-op at init
@@ -218,11 +244,17 @@ class LocalFeatureNet(nn.Module):
     def filter(
         self, residual_images: jnp.ndarray, depth_feat: jnp.ndarray | None = None, train: bool = False
     ) -> jnp.ndarray:
-        """[B, 3, H, W] residual (+ [B, 1, H, W] depth) -> hourglass feature map."""
-        feats = self.residual_conv(residual_images, train=train)
+        """[B, 3, H, W] residual (+ [B, 1, H, W] depth) -> hourglass feature map
+        [B, hourglass_dim, H/4, W/4]. NCHW at the boundary (matches every caller
+        and the query's gather layout); NHWC inside — the r5 cycle xprof showed
+        the old per-op transpose pairs cost ~30 ms/step of pure data formatting."""
+        x = jnp.transpose(residual_images, (0, 2, 3, 1))
+        feats = self.residual_conv(x, train=train)
         if depth_feat is not None:
-            feats = jnp.concatenate([feats, self.depth_conv(depth_feat, train=train)], axis=1)
-        return self.image_filter(feats)
+            d = jnp.transpose(depth_feat, (0, 2, 3, 1))
+            feats = jnp.concatenate([feats, self.depth_conv(d, train=train)], axis=-1)
+        out = self.image_filter(feats)
+        return jnp.transpose(out, (0, 3, 1, 2))
 
     def query(
         self,

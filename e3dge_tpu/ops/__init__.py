@@ -6,6 +6,7 @@ from e3dge_tpu.ops.grid_sample import (
     grid_sample_3d,
     grid_sample_mm,
     interpolate_bicubic,
+    interpolate_bicubic_nhwc,
     interpolate_bilinear,
 )
 from e3dge_tpu.ops.posenc import pos_encoding
@@ -27,6 +28,7 @@ __all__ = [
     "grid_sample_3d",
     "grid_sample_mm",
     "interpolate_bicubic",
+    "interpolate_bicubic_nhwc",
     "interpolate_bilinear",
     "pos_encoding",
     "upfirdn2d",

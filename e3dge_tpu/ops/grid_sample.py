@@ -276,3 +276,25 @@ def interpolate_bicubic(
     if (H, W) == (Ho, Wo):
         return x
     return _separable_resize(x, _cubic_matrix(Ho, H, align_corners), _cubic_matrix(Wo, W, align_corners))
+
+
+def _separable_resize_nhwc(x: jnp.ndarray, my: np.ndarray, mx: np.ndarray) -> jnp.ndarray:
+    my = jnp.asarray(my, x.dtype)
+    mx = jnp.asarray(mx, x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", my, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bowc->bopc", mx, out, precision=jax.lax.Precision.HIGHEST)
+
+
+def interpolate_bicubic_nhwc(
+    x: jnp.ndarray, size: tuple[int, int], align_corners: bool = True
+) -> jnp.ndarray:
+    """`interpolate_bicubic` for NHWC tensors (the conv-native TPU layout) —
+    same separable two-matmul form, contracted over the H/W axes in place so no
+    layout transposes are introduced (NHWC hourglass path)."""
+    B, H, W, C = x.shape
+    Ho, Wo = size
+    if (H, W) == (Ho, Wo):
+        return x
+    return _separable_resize_nhwc(
+        x, _cubic_matrix(Ho, H, align_corners), _cubic_matrix(Wo, W, align_corners)
+    )
