@@ -89,6 +89,63 @@ def grad_centralization() -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
 
 
+class RefRadamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_ref_radam(
+    b1: float = 0.95, b2: float = 0.999, eps: float = 1e-5, threshold: float = 5.0
+) -> optax.GradientTransformation:
+    """RAdam with the reference Ranger's EXACT step math (utils/ranger.py:140-180).
+
+    Differs from `optax.scale_by_radam` in two ways that matter for trajectory
+    parity with the reference encoder optimizer (trainer.py:1707 uses Ranger
+    defaults): (1) defaults betas=(0.95, 0.999), eps=1e-5 (ranger.py:38-39);
+    (2) eps is added to the UNCORRECTED sqrt(second moment) — the bias
+    correction sqrt(1-b2^t) lives in the scalar step size — so
+    update = rect/(1-b1^t) * m / (sqrt(v) + eps), while optax adds eps to the
+    bias-corrected sqrt(v/(1-b2^t)). Below the N_sma threshold the fallback is
+    bias-corrected momentum SGD: update = m / (1-b1^t) (ranger.py:176-180)."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return RefRadamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    n_sma_max = 2.0 / (1.0 - b2) - 1.0
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, updates)
+        t = count.astype(jnp.float32)
+        beta2_t = jnp.power(b2, t)
+        beta1_t = jnp.power(b1, t)
+        n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(
+            (1.0 - beta2_t)
+            * (n_sma - 4.0) / (n_sma_max - 4.0)
+            * (n_sma - 2.0) / n_sma
+            * n_sma_max / (n_sma_max - 2.0)
+        ) / (1.0 - beta1_t)
+        fallback = 1.0 / (1.0 - beta1_t)
+        use_rect = n_sma > threshold
+
+        def leaf(m, v):
+            rectified = rect * m / (jnp.sqrt(v) + eps)
+            return jnp.where(use_rect, rectified, fallback * m)
+
+        new_updates = jax.tree.map(leaf, mu, nu)
+        return new_updates, RefRadamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 class LookaheadState(NamedTuple):
     slow: Any
     count: jnp.ndarray
@@ -133,8 +190,11 @@ def make_optimizer(lr: float = 1e-4, name: str = "adam") -> optax.GradientTransf
     if name == "adam":
         return optax.adam(lr, b1=0.9, b2=0.999)
     if name == "ranger":
+        # reference-exact chain (utils/ranger.py defaults: betas (0.95, 0.999),
+        # eps 1e-5, GC on ndim>1, lookahead alpha=0.5 k=6) — trajectory-golden
+        # against the reference's own Ranger in tests/test_golden_oracle.py
         return optax.chain(
-            grad_centralization(), optax.scale_by_radam(), optax.scale(-lr), lookahead()
+            grad_centralization(), scale_by_ref_radam(), optax.scale(-lr), lookahead()
         )
     raise ValueError(name)
 

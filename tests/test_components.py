@@ -15,6 +15,7 @@ from e3dge_tpu.utils.config import tiny_test_config
 from e3dge_tpu.utils.logger import MetricLogger
 
 
+@pytest.mark.slow
 def test_encoder_factory_variants():
     cfg = tiny_test_config()
     enc = set_encoder("HybridGradualStyleEncoder_V2", cfg.encoder)

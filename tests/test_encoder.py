@@ -1,5 +1,6 @@
 """Tests for the E0 FPN encoder and discriminators."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ def test_volume_discriminator_pose_head():
     assert view.shape == (2, 2)  # (azim, elev) regression = pose estimator
 
 
+@pytest.mark.slow
 def test_legacy_dbackbone_encoders():
     """StyleGANEncoder / DEncoder / FullEncoder (reference stylesdf_model.py:
     1620-1762 legacy alt-configs) produce the W+ shapes the runners expect."""

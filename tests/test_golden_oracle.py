@@ -166,6 +166,7 @@ def test_volume_render_golden(refopt):
 # ---------------------------------------------------------------- 3. decoder G1
 
 
+@pytest.mark.slow
 def test_decoder_golden(refopt):
     """G1 StyleGAN2 upsampler vs the reference Decoder (stylesdf_model.py:587-797)
     at size 256 (in 64): mapping offset indexing, StyledConv pyramid, ToRGB skips,
@@ -224,6 +225,7 @@ def test_decoder_golden(refopt):
 # ---------------------------------------------------------------- 4. E0 FPN encoder
 
 
+@pytest.mark.slow
 def test_fpn_encoder_golden(refopt):
     """E0 vs reference HybridGradualStyleEncoder_V2 (fpn_encoders.py:266-432) at
     the released config: --full_pipeline, fpn dims 128/128 (all 9 pigan styles
@@ -266,6 +268,7 @@ def test_fpn_encoder_golden(refopt):
 # ---------------------------------------------------------------- 5. E1 local PIFu net
 
 
+@pytest.mark.slow
 def test_local_net_golden(refopt):
     """E1 vs reference HGPIFuNetGANResidualResnetFC (HGPIFuGANNetResidualInput
     ResnetFC.py:19-104): residual+depth context convs -> stacked hourglass filter,
@@ -473,3 +476,59 @@ def test_fused_leaky_relu_golden():
     np.testing.assert_allclose(np.asarray(fused_leaky_relu(jnp.asarray(x4), jnp.asarray(b5))), r4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fused_leaky_relu(jnp.asarray(x2), jnp.asarray(b7))), r2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(fused_leaky_relu(jnp.asarray(x4), None)), r0, atol=1e-6)
+
+
+# -------------------------------------------------- 10. Ranger optimizer
+
+
+def test_ranger_golden_trajectory():
+    """Our optax Ranger chain vs the reference's OWN Ranger (utils/ranger.py,
+    the encoder optimizer at trainer.py:1707) — 15-step trajectory parity on a
+    mixed param tree: a matrix + a 4D conv kernel (both get gradient
+    centralization, ranger.py:134-137) and a bias vector (no GC). 15 steps
+    cover the N_sma<=5 momentum-SGD fallback (t<=5 at beta2=0.999,
+    ranger.py:176-180), the rectified-RAdam branch after, and two lookahead
+    syncs (k=6, alpha=0.5, ranger.py:183-189)."""
+    ranger_mod = rb.import_ref("project.utils.ranger")
+
+    from e3dge_tpu.training.steps import make_optimizer
+
+    rng = np.random.RandomState(31)
+    init = {
+        "w": rng.randn(4, 3).astype(np.float32),
+        "conv": rng.randn(2, 3, 3, 3).astype(np.float32),
+        "b": rng.randn(5).astype(np.float32),
+    }
+    keys = sorted(init)
+    grads = [
+        {k: rng.randn(*init[k].shape).astype(np.float32) for k in keys}
+        for _ in range(15)
+    ]
+    lr = 1e-3
+
+    # reference side: the reference's own module, CPU torch. Copies are
+    # load-bearing: torch.from_numpy shares the buffer, the reference updates
+    # params in place and its GC mutates the grad tensor (ranger.py:134-137).
+    tparams = {k: torch.nn.Parameter(_t(init[k].copy())) for k in keys}
+    opt = ranger_mod.Ranger([tparams[k] for k in keys], lr=lr)
+    ref_traj = []
+    for g in grads:
+        for k in keys:
+            tparams[k].grad = _t(g[k].copy())
+        opt.step()
+        ref_traj.append({k: tparams[k].detach().numpy().copy() for k in keys})
+
+    # our side: the production chain (scripts/train.py --optimizer ranger)
+    import optax
+
+    tx = make_optimizer(lr, "ranger")
+    params = {k: jnp.asarray(init[k]) for k in keys}
+    state = tx.init(params)
+    for t, g in enumerate(grads):
+        updates, state = tx.update({k: jnp.asarray(v) for k, v in g.items()}, state, params)
+        params = optax.apply_updates(params, updates)
+        for k in keys:
+            np.testing.assert_allclose(
+                np.asarray(params[k]), ref_traj[t][k], rtol=2e-5, atol=1e-6,
+                err_msg=f"step {t + 1}, param {k}",
+            )

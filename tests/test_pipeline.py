@@ -60,6 +60,7 @@ def test_global_inversion(global_pipeline):
     assert out["gen_thumb_imgs"].shape == (2, 3, cfg.renderer.out_im_res, cfg.renderer.out_im_res)
 
 
+@pytest.mark.slow
 def test_full_inversion_and_novel_view(full_pipeline):
     cfg, model, v, images, ml = full_pipeline
     out = model.apply(v, images, ml, method=E3DGE.image2image, rngs={"noise": jax.random.key(3)})

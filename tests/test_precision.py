@@ -7,6 +7,7 @@ the old numerics, (b) bf16 outputs track f32 within bf16 tolerance, (c) the full
 tiny pipeline runs finite end-to-end in bf16.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,6 +123,7 @@ def test_field_bf16_close_to_f32(tiny_full_setup):
     assert err.mean() < 0.05, f"bf16 field drifted: mean rel err {err.mean():.4f}"
 
 
+@pytest.mark.slow
 def test_stage1_step_bf16_field_tracks_f32(tiny_test_setup):
     """field_dtype=bfloat16 under AUTODIFF (scripts/train.py --field-dtype): the
     differentiated bf16+fast_sin field (3.1x faster backward on v5e, bench_field
@@ -157,6 +159,7 @@ def test_stage1_step_bf16_field_tracks_f32(tiny_test_setup):
     assert abs(losses["bf16"] - losses["f32"]) / (abs(losses["f32"]) + 1e-6) < 0.15, losses
 
 
+@pytest.mark.slow
 def test_cycle_step_bf16_field_tracks_f32(tiny_full_setup):
     """field_dtype=bfloat16 in the CYCLE step: the bf16 differentiated field AND
     the bf16 fusion/modulation path (feature_2d/3d/vis_mask/PE cast at the field

@@ -137,6 +137,7 @@ def test_project_wspace_offsets(runner, tmp_path):
     assert np.isfinite(np.asarray(losses)).all()
 
 
+@pytest.mark.slow
 def test_legacy_checkpoint_with_state_resumes(runner):
     """A pre-migration single-item checkpoint {"variables", "state"} must still
     hand back the training state when a template is given (the legacy branch

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from e3dge_tpu.models.e3dge import E3DGE, LatentMeans
 from e3dge_tpu.parallel.mesh import make_mesh, replicate
@@ -167,6 +168,7 @@ def test_synthetic_sample_field_dtype_tolerance(tiny_test_setup):
     )
 
 
+@pytest.mark.slow
 def test_remat_field_loss_and_grads_identical(tiny_test_setup):
     """renderer.remat_field (scripts/train.py --remat-field) is jax.checkpoint —
     it must change memory behavior only: stage-1 loss AND grads bit-match the
@@ -191,6 +193,7 @@ def test_remat_field_loss_and_grads_identical(tiny_test_setup):
     np.testing.assert_allclose(l2a, l2b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage1_step_updates_encoder_only(tiny_test_setup):
     cfg, model, v, ml = tiny_test_setup
 
@@ -225,6 +228,7 @@ def test_cycle_step_runs(tiny_full_setup):
     assert set(state2.params.keys()) == set(STAGE22_TRAINABLE)
 
 
+@pytest.mark.slow
 def test_stage1_data_parallel_mesh(tiny_test_setup):
     """Full stage-1 step over a virtual 4-device CPU dp mesh: replicated state,
     XLA-derived grad all-reduce. (4 devices keeps the cold compile ~2x cheaper
@@ -285,6 +289,7 @@ def test_stage22_trainable_fix_ada():
     assert "local" in stage22_trainable(True)
 
 
+@pytest.mark.slow
 def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
     """Sharding correctness: the dp x sp mesh cycle step must produce the same
     loss as the unsharded run (DDP semantics of utils/dist_utils.py:7-130).
@@ -334,6 +339,7 @@ def test_cycle_step_dp_mesh_loss_matches_single_device(tiny_full_setup):
     np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cycle_step_adv_ema_refweight(tiny_full_setup):
     """Stage-2.2 switches in one pass: adversarial term (d_apply + adv_lambda) with
     the VQGAN adaptive D weight, EMA accumulation, occlusion re-integration
@@ -423,6 +429,7 @@ def test_volume_d_step(tiny_test_setup):
     assert any(bool(m) for m in moved)
 
 
+@pytest.mark.slow
 def test_train_resume_identical_trajectory(tiny_test_setup, tmp_path):
     """Kill-and-resume fidelity (reference base_runner.py:252-285 saves optimizer
     dicts): 4 straight steps == 2 steps + full-state checkpoint round-trip + 2
@@ -474,6 +481,7 @@ def test_shard_batch_uneven_guard():
     assert out["x"].shape == (8, 4)
 
 
+@pytest.mark.slow
 def test_stage1_step_with_perceptual_losses(tiny_test_setup):
     """The full reference loss recipe through the stage-1 step: LPIPS + ID terms
     (random-init surrogates) appear in the metrics and the loss stays finite
