@@ -44,16 +44,28 @@ def stage22_trainable(fix_ada: bool = False) -> tuple[str, ...]:
 def pose_curriculum(
     steps: Sequence[int] = (0, 10000, 14000, 18000, 22000, 26000),
     lambdas: Sequence[float] = (0.0, 0.15, 0.25, 0.5, 0.75, 1.0),
+    fixed_tail: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Progressive pose-range curriculum (reference get_curriculum_pose_lambda,
     utils/data_util.py:193-210; defaults from options.py --progressive_pose_lambda/
-    _steps). Returns a jit-compatible piecewise-constant schedule step -> scale."""
+    _steps). Returns a jit-compatible piecewise-constant schedule step -> scale.
+
+    Reference quirk, matched by default: the reference's interval loop has an
+    off-by-one (`progressive_interval != len(steps)` is always true, so the
+    decrement always fires — data_util.py:205-208), making the LAST lambda
+    unreachable: for step >= steps[-1] it returns lambdas[-2] (0.75) forever,
+    despite options.py:1282's "after the last steps the lambda should be 1".
+    The released stage-2 recipes train under this cap
+    (stage2.1.sh --progressive_pose_sampling). `fixed_tail=True` restores the
+    documented intent (reach lambdas[-1]); golden-pinned against the
+    reference's own method in tests/test_golden_oracle.py."""
     edges = jnp.asarray(steps[1:], jnp.int32)
     vals = jnp.asarray(lambdas, jnp.float32)
+    max_idx = len(lambdas) - 1 if fixed_tail else len(lambdas) - 2
 
     def schedule(step: jnp.ndarray) -> jnp.ndarray:
         idx = jnp.searchsorted(edges, jnp.asarray(step, jnp.int32), side="right")
-        return vals[idx]
+        return vals[jnp.minimum(idx, max_idx)]
 
     return schedule
 

@@ -532,3 +532,40 @@ def test_ranger_golden_trajectory():
                 np.asarray(params[k]), ref_traj[t][k], rtol=2e-5, atol=1e-6,
                 err_msg=f"step {t + 1}, param {k}",
             )
+
+
+# -------------------------------------------------- 11. pose curriculum
+
+
+def test_pose_curriculum_golden():
+    """training.steps.pose_curriculum vs the reference's own
+    get_curriculum_pose_lambda (data_util.py:193-210), executed unmodified on a
+    minimal `self`. Pins the reference's off-by-one: the loop's post-decrement
+    always fires, so the final lambda (1.0) is unreachable and steps past the
+    last threshold stay at lambdas[-2] — the released stage-2 recipes
+    (stage2.1.sh --progressive_pose_sampling) trained under this cap."""
+    import types as _types
+
+    data_util = rb.import_ref("project.utils.data_util")
+
+    from e3dge_tpu.training.steps import pose_curriculum
+
+    steps = [0, 10000, 14000, 18000, 22000, 26000]
+    lambdas = [0.0, 0.15, 0.25, 0.5, 0.75, 1.0]
+    ref_self = _types.SimpleNamespace(
+        opt=_types.SimpleNamespace(
+            progressive_pose_sampling=True,
+            progressive_pose_lambda=lambdas,
+            progressive_pose_steps=steps,
+        )
+    )
+    # unbound method off the class the reference defines it on
+    ref_fn = data_util.DATASETGAN_3D.get_curriculum_pose_lambda
+
+    sched = pose_curriculum(steps, lambdas)
+    probe = [0, 1, 9999, 10000, 13999, 14000, 17999, 18000, 21999, 22000,
+             25999, 26000, 26001, 100000, 434000]
+    for s in probe:
+        ref_val = float(ref_fn(ref_self, s))
+        ours = float(sched(jnp.asarray(s)))
+        assert ours == pytest.approx(ref_val, abs=1e-7), f"step {s}: {ours} vs ref {ref_val}"

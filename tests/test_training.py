@@ -278,7 +278,12 @@ def test_pose_curriculum_schedule():
     assert float(sched(jnp.asarray(9999))) == 0.0
     np.testing.assert_allclose(float(sched(jnp.asarray(10000))), 0.15, rtol=1e-6)
     np.testing.assert_allclose(float(sched(jnp.asarray(20000))), 0.5, rtol=1e-6)
-    np.testing.assert_allclose(float(sched(jnp.asarray(30000))), 1.0, rtol=1e-6)
+    # reference off-by-one (data_util.py:205-208): the last lambda is
+    # unreachable — steps >= steps[-1] stay at lambdas[-2] (golden-pinned)
+    np.testing.assert_allclose(float(sched(jnp.asarray(30000))), 0.75, rtol=1e-6)
+    fixed = pose_curriculum(fixed_tail=True)
+    np.testing.assert_allclose(float(fixed(jnp.asarray(30000))), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(fixed(jnp.asarray(20000))), 0.5, rtol=1e-6)
 
 
 def test_stage22_trainable_fix_ada():
