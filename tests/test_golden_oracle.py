@@ -14,6 +14,9 @@ import-time stubs for its unavailable deps. Module families covered:
   ResidualAligner / Fuse_sft_MLP  alignment_old.py:316, sft.py:84 (ADA/SFT)
   VolumeRenderDiscriminator  stylesdf_model.py:1369  (GAN + pose-estimator heads)
   upfirdn2d / fused_leaky_relu  op/{upfirdn2d,fused_act}.py CPU fallbacks (L0 ops)
+  Ranger optimizer          utils/ranger.py          (15-step trajectory)
+  pose curriculum           utils/data_util.py:193   (incl. the tail-cap off-by-one)
+  camera generation         utils/camera_utils.py:8  (poses/extrinsics/calibs)
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -569,3 +572,51 @@ def test_pose_curriculum_golden():
         ref_val = float(ref_fn(ref_self, s))
         ours = float(sched(jnp.asarray(s)))
         assert ours == pytest.approx(ref_val, abs=1e-7), f"step {s}: {ours} vs ref {ref_val}"
+
+
+# -------------------------------------------------- 12. camera generation
+
+
+def test_camera_params_golden():
+    """render.camera.camera_params_from_angles vs the reference's own
+    generate_camera_params (camera_utils.py:8-155, locations mode,
+    return_calibs=True): poses, focal, near/far, viewpoint, w2c extrinsics and
+    the uv-space calib matrices, on a grid that includes the near-pole
+    degenerate branch (camera_utils.py:97-101 x-axis rebuild)."""
+    cu = rb.import_ref("project.utils.camera_utils")
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    azim = np.array([0.0, 0.3, -0.3, 1.2, 0.0, 0.5], np.float32)
+    elev = np.array([0.0, 0.15, -0.15, 0.6, 1.5707, -1.5707], np.float32)
+    res, fov, rad = 64, 6.0, 0.12
+
+    with torch.no_grad():
+        # batch must equal len(locations): the calib intrinsics are sized from
+        # the batch arg even in locations mode (camera_utils.py:122-125)
+        ref = cu.generate_camera_params(
+            res, torch.device("cpu"), batch=len(azim),
+            locations=torch.from_numpy(np.stack([azim, elev], -1)),
+            fov_ang=fov, dist_radius=rad, return_calibs=True,
+        )
+
+    cam = camera_params_from_angles(jnp.asarray(azim), jnp.asarray(elev), res,
+                                    fov_ang=fov, dist_radius=rad)
+
+    np.testing.assert_allclose(np.asarray(cam.poses), ref["poses"].numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cam.focal).reshape(-1), ref["focal"].numpy().reshape(-1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam.near).reshape(-1), ref["near"].numpy().reshape(-1), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam.far).reshape(-1), ref["far"].numpy().reshape(-1), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam.viewpoint), ref["viewpoint"].numpy(), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam.extrinsics), ref["extrinsics"].numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(cam.calibs), ref["calibs"].numpy(), atol=1e-6)
