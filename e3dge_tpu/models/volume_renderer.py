@@ -324,7 +324,13 @@ class VolumeFeatureRenderer(nn.Module):
         rays_d_ref = p_cam / (-p_cam[..., 2:3])
         rays_d_wd = jnp.einsum("bij,bnj->bni", c2w_R, rays_d_ref)  # [B, N, 3]
         d_norm = jnp.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
-        viewdirs = rays_d_wd / d_norm
+        # static_viewdirs (released default, base_setup.py:54): the field sees
+        # CAMERA-space directions — reference volume_renderer.py:1420-1423. The
+        # frame is inert for the RETURNED weights/visibility (they derive from the
+        # view-independent SDF channel only; viewdirs feed the unused RGB head),
+        # but matching it keeps the query reference-exact end to end.
+        # c2w_R is a rotation, so |rays_d_ref| == |rays_d_wd| and d_norm serves both.
+        viewdirs = (rays_d_ref if c.static_viewdirs else rays_d_wd) / d_norm
 
         near = ref_camera.near.reshape(B, 1, 1)
         far = ref_camera.far.reshape(B, 1, 1)
@@ -481,7 +487,9 @@ class VolumeFeatureRenderer(nn.Module):
         p_cam = jnp.einsum("bij,bnj->bni", w2c_R, pts) + w2c_t[:, None]
         rays_d_ref = p_cam / (-p_cam[..., 2:3])
         rays_d_wd = jnp.einsum("bij,bnj->bni", c2w_R, rays_d_ref)
-        viewdirs = rays_d_wd / jnp.linalg.norm(rays_d_wd, axis=-1, keepdims=True)
+        # camera-space viewdirs under static_viewdirs (reference :1572-1575)
+        vd_src = rays_d_ref if c.static_viewdirs else rays_d_wd
+        viewdirs = vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
 
         near = ref_camera.near.reshape(B, 1, 1)
         near_pts = rays_o[:, None] + rays_d_wd * near  # [B, N, 3]

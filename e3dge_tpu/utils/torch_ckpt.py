@@ -229,6 +229,37 @@ def flax_path_to_torch(path: str) -> Rule | None:
             return ("final_conv.conv.bias", _identity)
         return None
 
+    # ---------------- full-res G1 discriminator (stylesdf_model.py:1541-1617)
+    # Torch side is nn.Sequential ConvLayers, so param indices skip the
+    # param-free Blur: plain ConvLayer = (conv 0, act 1); downsample ConvLayer =
+    # (blur 0, conv 1, act 2); skip = (blur 0, conv 1, no act). Our params keep
+    # torch OIHW/[out,in] layouts (models/discriminator.py), so all _identity.
+    if top == "discriminator":
+        table = {
+            "convs_0/conv/weight": "convs.0.0.weight",
+            "convs_0/bias": "convs.0.1.bias",
+            "final_conv/conv/weight": "final_conv.0.weight",
+            "final_conv/bias": "final_conv.1.bias",
+            "final_linear_0/weight": "final_linear.0.weight",
+            "final_linear_0/bias": "final_linear.0.bias",
+            "final_linear_1/weight": "final_linear.1.weight",
+            "final_linear_1/bias": "final_linear.1.bias",
+        }
+        if rel in table:
+            return (table[rel], _identity)
+        m = re.match(r"convs_(\d+)/(conv1/conv/weight|conv1/bias|conv2/conv/weight|conv2/bias|skip/conv/weight)", rel)
+        if m and int(m.group(1)) > 0:
+            i, sub = int(m.group(1)), m.group(2)
+            sub_map = {
+                "conv1/conv/weight": "conv1.0.weight",
+                "conv1/bias": "conv1.1.bias",
+                "conv2/conv/weight": "conv2.1.weight",
+                "conv2/bias": "conv2.2.bias",
+                "skip/conv/weight": "skip.1.weight",
+            }
+            return (f"convs.{i}.{sub_map[sub]}", _identity)
+        return None
+
     # ---------------- E1 local net (netLocal)
     if top == "local":
         m = re.match(r"(residual_conv|depth_conv)/(.+)", rel)

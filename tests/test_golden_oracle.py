@@ -166,6 +166,83 @@ def test_volume_render_golden(refopt):
     )
 
 
+# ------------------------------------------------- 2b. occlusion hit-prob query
+
+
+@pytest.mark.slow
+def test_hit_prob_golden(refopt):
+    """Occlusion weighting vs the reference's own
+    query_hitting_probability_{fixed,adapted}_interval (volume_renderer.py:1326,
+    1497) — the cycle-training core (cycle_runner.py:133-161 weights the que-view
+    loss by the ref view's hit probability). Pins both return types of the fixed
+    query and the adapted tail-weight variant under the released
+    static_viewdirs=True. (The viewdir FRAME — camera vs world, reference
+    :1420-1423 — is inert for these outputs: weights/visibility derive from the
+    view-independent SDF channel only. We mirror the reference's camera-frame
+    choice anyway; this golden pins the full re-integration math: per-point ray
+    construction, ref-frame z grid, interval-index lerp, tail-weight variant.)"""
+    vr = rb.import_ref("project.utils.volume_renderer")
+
+    R, S_ray, Sq = 8, 8, 3
+    ropt = rb._Munch(refopt.rendering)
+    ropt.N_samples = S_ray
+    ropt.enable_local_model = False
+    ropt.return_sdf = True
+    ropt.return_xyz = True
+
+    torch.manual_seed(0)
+    ref = vr.VolumeFeatureRenderer(ropt, style_dim=256, out_im_res=R, mode="test")
+    rb.seed_module(ref, seed=33)
+    ref.eval()
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    azim = jnp.asarray([0.35, -0.3])
+    elev = jnp.asarray([0.2, -0.15])
+    cam = camera_params_from_angles(azim, elev, R, fov_ang=6.0, dist_radius=0.12)
+
+    rng = np.random.RandomState(9)
+    styles = (0.3 * rng.randn(2, 9, 256)).astype(np.float32)
+    # query points inside the unit-warp shell around the origin (the reference
+    # frustum looks at the origin from distance ~1, near/far 0.88/1.12)
+    pts = rng.uniform(-0.1, 0.1, (2, R, R, Sq, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        render_out = ref(
+            _t(cam.poses), _t(np.asarray(cam.focal)), _t(np.asarray(cam.near)),
+            _t(np.asarray(cam.far)), styles=_t(styles),
+        )
+        # ref_img_info as the cycle runner builds it (e3dge_2dalignonly_runner.py:294)
+        info = {
+            "global_render_out": render_out,
+            "cam_settings": {"poses": _t(cam.poses), "extrinsics": _t(cam.extrinsics)},
+            "pred_latents": [_t(styles)],
+        }
+        ref_w = ref.query_hitting_probability_fixed_interval(_t(pts), info, "weights").numpy()
+        ref_v = ref.query_hitting_probability_fixed_interval(_t(pts), info, "visibility").numpy()
+        ref_a = ref.query_hitting_probability_adapted_interval(_t(pts), info).numpy()
+
+    from e3dge_tpu.models.volume_renderer import VolumeFeatureRenderer
+    from e3dge_tpu.utils.config import RendererConfig
+
+    cfg = RendererConfig(depth=8, width=256, style_dim=256, out_im_res=R, n_samples=S_ray, perturb=False)
+    ours = VolumeFeatureRenderer(cfg)
+    v0 = ours.init({"params": jax.random.key(0)}, cam, jnp.asarray(styles))
+    wrapped = {"params": {"generator": {"renderer": v0["params"]}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "renderer.")}
+    params = _ingest_standalone(wrapped, sds)["params"]["generator"]["renderer"]
+
+    jpts = jnp.asarray(pts)
+    jstyles = jnp.asarray(styles)
+    our_w = ours.apply({"params": params}, jpts, cam, jstyles, "weights", method="query_hit_prob")
+    our_v = ours.apply({"params": params}, jpts, cam, jstyles, "visibility", method="query_hit_prob")
+    our_a = ours.apply({"params": params}, jpts, cam, jstyles, method="query_hit_prob_adapted")
+
+    np.testing.assert_allclose(np.asarray(our_w).reshape(ref_w.shape), ref_w, atol=3e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(our_v).reshape(ref_v.shape), ref_v, atol=3e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(our_a).reshape(ref_a.shape), ref_a, atol=3e-3, rtol=0)
+
+
 # ---------------------------------------------------------------- 3. decoder G1
 
 
@@ -429,6 +506,42 @@ def test_volume_discriminator_golden(refopt):
     gan, view = ours.apply({"params": new_vars["params"]["volume_discriminator"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(gan), ref_gan, atol=2e-4, rtol=0)
     np.testing.assert_allclose(np.asarray(view), ref_view, atol=2e-4, rtol=0)
+
+
+# -------------------------------------------------- 8b. full-res G1 D
+
+
+def test_full_discriminator_golden(refopt):
+    """Full-res StyleGAN2 Discriminator (minibatch stddev) vs the reference's own
+    (stylesdf_model.py:1541-1617) — the adversarial D of stage 2.2. Ingesting it
+    from a released StyleSDF/E3DGE training checkpoint ('d' entry) initializes
+    adversarial fine-tuning exactly where the reference left off. D_init_size=16
+    keeps the fixed-512-channel trunk CPU-sized; batch 4 exercises the stddev
+    group path (stddev_group=4)."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+
+    dopt = rb._Munch(refopt.model)
+    dopt.D_init_size = 16
+    dopt.D_input_size = 3
+
+    torch.manual_seed(0)
+    ref = sm.Discriminator(dopt)
+    rb.seed_module(ref, seed=71)
+    ref.eval()
+
+    rng = np.random.RandomState(23)
+    x = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(_t(x)).numpy()
+
+    from e3dge_tpu.models.discriminator import Discriminator
+
+    ours = Discriminator(input_size=16, channel_base=512, channel_multiplier=int(dopt.channel_multiplier))
+    v0 = ours.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"discriminator": v0["params"]}}
+    new_vars = _ingest_standalone(wrapped, {"discriminator": rb.sd_numpy(ref)})
+    logits = ours.apply({"params": new_vars["params"]["discriminator"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=0)
 
 
 # -------------------------------------------------- 9. op CPU fallbacks
