@@ -15,7 +15,11 @@ import jax.numpy as jnp
 
 from e3dge_tpu.models.discriminator import VOLUME_D_CHANNELS, VolumeDiscConv, VolumeRenderResBlock
 from e3dge_tpu.models.encoders.fpn import HybridGradualStyleEncoderV2
-from e3dge_tpu.models.encoders.variants import Encoder4EditingHybrid, HybridBackboneEncoder
+from e3dge_tpu.models.encoders.variants import (
+    BackboneEncoderRenderer,
+    Encoder4EditingHybrid,
+    HybridBackboneEncoder,
+)
 from e3dge_tpu.utils.config import EncoderConfig
 
 
@@ -197,7 +201,10 @@ ENCODERS = {
     "HybridGradualStyleEncoder_V2": HybridGradualStyleEncoderV2,
     "VolumeRenderDiscriminatorEncoder": VolumeRenderDiscriminatorEncoder,
     "HybridBackboneEncoder": HybridBackboneEncoder,
+    "BackboneEncoderRenderer": BackboneEncoderRenderer,
     "Encoder4Editing": Encoder4EditingHybrid,
+    # reference factory name (encoders/__init__.py:25-28) for options_compat
+    "Encoder4EditingHybridBaseline": Encoder4EditingHybrid,
     "VolumeStyleEncoder": VolumeStyleEncoder,
     "StyleGANEncoder": StyleGANEncoder,
     "DEncoder": DEncoder,

@@ -2,6 +2,7 @@
 
 from e3dge_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from e3dge_tpu.ops.grid_sample import (
+    adaptive_avg_pool2d,
     grid_sample,
     grid_sample_3d,
     grid_sample_mm,
@@ -22,6 +23,7 @@ from e3dge_tpu.ops.upfirdn2d import (
 )
 
 __all__ = [
+    "adaptive_avg_pool2d",
     "fused_leaky_relu",
     "scaled_leaky_relu",
     "grid_sample",

@@ -278,6 +278,31 @@ def interpolate_bicubic(
     return _separable_resize(x, _cubic_matrix(Ho, H, align_corners), _cubic_matrix(Wo, W, align_corners))
 
 
+def _adaptive_pool_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Row-averaging matrix with torch AdaptiveAvgPool bin semantics: output bin
+    i averages input rows [floor(i*in/out), ceil((i+1)*in/out))."""
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -((-(i + 1) * in_size) // out_size)  # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """torch.nn.AdaptiveAvgPool2d on NCHW, exact bin semantics (each output cell
+    averages a contiguous input window whose edges are floor/ceil of the
+    fractional stride). Used by the IDLoss face pool (reference losses/
+    id_loss.py:20,26: crop 188x188 -> AdaptiveAvgPool2d(112)) — NOT the same as
+    a bilinear resize. Averaging is separable, so it is the same two-matmul MXU
+    form as the resizes above."""
+    B, C, H, W = x.shape
+    Ho, Wo = size
+    if (H, W) == (Ho, Wo):
+        return x
+    return _separable_resize(x, _adaptive_pool_matrix(Ho, H), _adaptive_pool_matrix(Wo, W))
+
+
 def _separable_resize_nhwc(x: jnp.ndarray, my: np.ndarray, mx: np.ndarray) -> jnp.ndarray:
     my = jnp.asarray(my, x.dtype)
     mx = jnp.asarray(mx, x.dtype)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from e3dge_tpu.models.encoders.fpn import BatchNorm, BottleneckIRSE, PReLU, TorchConv, get_blocks
-from e3dge_tpu.ops.grid_sample import interpolate_bilinear
+from e3dge_tpu.ops.grid_sample import adaptive_avg_pool2d
 
 # LPIPS input scaling constants (lpips networks.py ScalingLayer)
 _LPIPS_SHIFT = jnp.asarray([-0.030, -0.088, -0.188]).reshape(1, 3, 1, 1)
@@ -107,7 +107,9 @@ class ArcFaceBackbone(nn.Module):
 
 class IDLoss(nn.Module):
     """ArcFace cosine-similarity loss with the reference's face crop
-    (id_loss.py:24: rows 35:223, cols 32:220 of the 256 image, pooled to 112)."""
+    (id_loss.py:24-26: rows 35:223, cols 32:220 of the 256 image, then
+    AdaptiveAvgPool2d((112,112)) — adaptive POOLING, not a bilinear resize;
+    the two differ and the released metric uses the pool)."""
 
     @nn.compact
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray, per_sample: bool = False):
@@ -116,7 +118,7 @@ class IDLoss(nn.Module):
         def embed(img):
             if img.shape[-1] >= 224:
                 img = img[:, :, 35:223, 32:220]
-            img = interpolate_bilinear(img, (112, 112), align_corners=False)
+            img = adaptive_avg_pool2d(img, (112, 112))
             return backbone(img)
 
         e_pred = embed(pred)

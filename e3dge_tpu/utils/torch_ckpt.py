@@ -123,10 +123,14 @@ def flax_path_to_torch(path: str) -> Rule | None:
         m = re.match(r"latlayer(\d+)/(.+)", rel)
         if m:
             return _lookup(_torchconv_rules(f"latlayer{m.group(1)}"), m.group(2))
-        m = re.match(r"styles_(pigan|stylegan)_(\d+)/(.+)", rel)
+        m = re.match(r"styles_(pigan_|stylegan_|)(\d+)/(.+)", rel)
         if m:
             kind, i, sub = m.group(1), int(m.group(2)), m.group(3)
-            base = f"styles_{kind}.{i}"
+            # V2 torch names: styles_pigan.{i} / styles_stylegan.{i}
+            # (fpn_encoders.py:300-320); the e4e Baseline's stylegan branch is
+            # plain `styles.{i}` (e4e_encoders.py:401-426) — our bare
+            # `styles_{i}` module names map there.
+            base = f"styles_{kind[:-1]}.{i}" if kind else f"styles.{i}"
             mc = re.match(r"convs_(\d+)/(.+)", sub)
             if mc:
                 return _lookup(_torchconv_rules(f"{base}.convs.{2 * int(mc.group(1))}"), mc.group(2))

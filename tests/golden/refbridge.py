@@ -329,5 +329,22 @@ def seed_module(module, seed: int = 0, zero_scale: float = 0.02):
     return module
 
 
+def seed_buffers(module, seed: int = 0):
+    """Randomize BatchNorm running statistics (mean ~ N(0, 0.05), var ~ U(0.5, 1.5))
+    so eval-mode goldens also prove the running-stat ingestion mapping — freshly
+    constructed modules carry mean=0/var=1, under which a mean<->var or
+    layer-permutation mapping bug is invisible."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, b in sorted(module.named_buffers()):
+            if name.endswith("running_mean"):
+                b.copy_(0.05 * torch.randn(b.shape, generator=g))
+            elif name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand(b.shape, generator=g))
+    return module
+
+
 def sd_numpy(module) -> dict[str, np.ndarray]:
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

@@ -126,7 +126,8 @@ def test_encoder_variants_restyle_and_e4e():
     apply_j = jax.jit(lambda vv, xx, s: enc0.apply(vv, xx, stage=s))
     t_s0, _ = apply_j(v0, x, e4e_progressive_stage(0, every=10))
     t_s1, _ = apply_j(v0, x, e4e_progressive_stage(10, every=10))
-    np.testing.assert_allclose(np.asarray(t_s0), np.asarray(thumb0), atol=1e-6)
+    # jit vs eager op ordering through the FPN laterals -> ~1e-6 float noise
+    np.testing.assert_allclose(np.asarray(t_s0), np.asarray(thumb0), atol=1e-5)
     # stage 1 activates row 1's delta; row 2 remains the base
     assert not np.allclose(np.asarray(t_s1[:, 1]), np.asarray(t_s1[:, 0]))
     np.testing.assert_allclose(np.asarray(t_s1[:, 2]), np.asarray(t_s1[:, 0]), atol=1e-6)

@@ -17,6 +17,11 @@ import-time stubs for its unavailable deps. Module families covered:
   Ranger optimizer          utils/ranger.py          (15-step trajectory)
   pose curriculum           utils/data_util.py:193   (incl. the tail-cap off-by-one)
   camera generation         utils/camera_utils.py:8  (poses/extrinsics/calibs)
+  ArcFace IR-SE-50 + face pool  encoders/model_irse.py, losses/id_loss.py:20-27
+  GAN losses + R1 autodiff parity  losses/gan_loss.py (jax.grad vs torch.autograd)
+  SirenGeneratorDDF         volume_renderer.py:561   (dead-code proof + runnable mode)
+  Encoder4EditingHybridBaseline  e4e_encoders.py:378  (e4e, both progressive stages)
+  BackboneEncoderRenderer   restyle_psp_encoders.py:138  (ReStyle w-space)
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -733,3 +738,346 @@ def test_camera_params_golden():
         np.asarray(cam.extrinsics), ref["extrinsics"].numpy(), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(cam.calibs), ref["calibs"].numpy(), atol=1e-6)
+
+
+# -------------------------------------------------- 12. ArcFace identity backbone
+
+
+def test_arcface_golden():
+    """training.perceptual.ArcFaceBackbone + the IDLoss face-pool path vs the
+    reference's own IR-SE-50 (encoders/model_irse.py::Backbone, the IDLoss
+    facenet at losses/id_loss.py:13-16) with seeded weights AND randomized
+    BatchNorm running stats (eval mode reads them, so mapping bugs can't hide
+    behind the fresh mean=0/var=1). Also pins extract_feats' AdaptiveAvgPool2d
+    (id_loss.py:20,26): the 188x188 crop -> 112 face pool is adaptive POOLING,
+    not bilinear interpolation."""
+    irse = rb.import_ref("project.models.encoders.model_irse")
+
+    torch.manual_seed(0)
+    ref = irse.Backbone(input_size=112, num_layers=50, drop_ratio=0.6, mode="ir_se")
+    rb.seed_module(ref, seed=83)
+    rb.seed_buffers(ref, seed=84)
+    ref.eval()
+
+    rng = np.random.RandomState(37)
+    x112 = rng.uniform(-1, 1, (2, 3, 112, 112)).astype(np.float32)
+    x256 = rng.uniform(-1, 1, (2, 3, 256, 256)).astype(np.float32)
+
+    pool = torch.nn.AdaptiveAvgPool2d((112, 112))
+    with torch.no_grad():
+        ref_emb = ref(_t(x112)).numpy()
+        # extract_feats (id_loss.py:23-27): crop rows 35:223, cols 32:220, pool
+        ref_emb_256 = ref(pool(_t(x256)[:, :, 35:223, 32:220])).numpy()
+
+    from e3dge_tpu.ops import adaptive_avg_pool2d
+    from e3dge_tpu.training.perceptual import ArcFaceBackbone
+    from e3dge_tpu.utils.torch_ckpt import ingest_perceptual
+
+    ours = ArcFaceBackbone()
+    v0 = ours.init(jax.random.key(0), jnp.zeros((1, 3, 112, 112)))
+    # arcface rules expect paths under a 'facenet' wrapper (as inside IDLoss)
+    wrapped = {coll: {"facenet": tree} for coll, tree in v0.items()}
+    new_vars, missing = ingest_perceptual(wrapped, rb.sd_numpy(ref), "arcface", strict=True)
+    var = {coll: tree["facenet"] for coll, tree in new_vars.items()}
+
+    emb = np.asarray(ours.apply(var, jnp.asarray(x112)))
+    np.testing.assert_allclose(emb, ref_emb, atol=2e-4, rtol=0)
+
+    cropped = adaptive_avg_pool2d(jnp.asarray(x256)[:, :, 35:223, 32:220], (112, 112))
+    emb256 = np.asarray(ours.apply(var, cropped))
+    np.testing.assert_allclose(emb256, ref_emb_256, atol=2e-4, rtol=0)
+
+
+# -------------------------------------------------- 13. GAN losses + autodiff parity
+
+
+def test_gan_losses_golden():
+    """training.losses vs the reference's own losses/gan_loss.py functions on
+    identical inputs: d_logistic_loss, g_nonsaturating_loss, viewpoints_loss
+    (smooth-L1), eikonal_loss (both with and without the minimal-surface term),
+    path regularization, and the VQGAN adaptive-D weight."""
+    gl = rb.import_ref("project.losses.gan_loss")
+
+    from e3dge_tpu.training import losses as L
+
+    rng = np.random.RandomState(41)
+    real = rng.randn(6, 1).astype(np.float32)
+    fake = rng.randn(6, 1).astype(np.float32)
+
+    np.testing.assert_allclose(
+        float(L.d_logistic_loss(jnp.asarray(real), jnp.asarray(fake))),
+        float(gl.d_logistic_loss(_t(real), _t(fake))), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(L.g_nonsaturating_loss(jnp.asarray(fake))),
+        float(gl.g_nonsaturating_loss(_t(fake))), rtol=1e-6,
+    )
+
+    vp_pred = rng.randn(4, 2).astype(np.float32)
+    vp_gt = (vp_pred + 0.3 * rng.randn(4, 2)).astype(np.float32)  # mixed <1 / >1 gaps
+    np.testing.assert_allclose(
+        float(L.viewpoint_loss(jnp.asarray(vp_pred), jnp.asarray(vp_gt))),
+        float(gl.viewpoints_loss(_t(vp_pred), _t(vp_gt))), rtol=1e-6,
+    )
+
+    eik_term = rng.randn(2, 64, 3).astype(np.float32)
+    sdf = (0.05 * rng.randn(2, 64, 1)).astype(np.float32)
+    r_eik, r_ms = gl.eikonal_loss(_t(eik_term), _t(sdf))
+    o_eik, o_ms = L.eikonal_loss(jnp.asarray(eik_term), jnp.asarray(sdf))
+    np.testing.assert_allclose(float(o_eik), float(r_eik), rtol=1e-5)
+    np.testing.assert_allclose(float(o_ms), float(r_ms), rtol=1e-5)
+    r_eik_only, _ = gl.eikonal_loss(_t(eik_term), None)
+    o_eik_only, o_zero = L.eikonal_loss(jnp.asarray(eik_term), None)
+    np.testing.assert_allclose(float(o_eik_only), float(r_eik_only), rtol=1e-5)
+    assert float(o_zero) == 0.0
+
+    # path regularization: identical latent grads in, compare penalty + mean.
+    # (The grads themselves are produced by autodiff in each framework's train
+    # step; the d_r1 test below pins grad parity through a real network.)
+    latent_grads = rng.randn(4, 9, 32).astype(np.float32)
+    mean_pl = 0.37
+    fake_img = torch.zeros(4, 3, 8, 8)
+    lat = torch.zeros(4, 9, 32, requires_grad=True)
+    # run the reference path math directly on the grads via its formula lines
+    ref_pl = torch.sqrt(_t(latent_grads).pow(2).sum(2).mean(1))
+    ref_mean = mean_pl + 0.01 * (ref_pl.mean() - mean_pl)
+    ref_penalty = (ref_pl - ref_mean).pow(2).mean()
+    o_pen, o_mean = L.path_lengths_from_grads(jnp.asarray(latent_grads), mean_pl)
+    np.testing.assert_allclose(float(o_pen), float(ref_penalty), rtol=1e-5)
+    np.testing.assert_allclose(float(o_mean), float(ref_mean), rtol=1e-5)
+
+    # adaptive D weight: same tiny graph, reference computes grads itself
+    last = torch.nn.Parameter(_t(rng.randn(8, 4).astype(np.float32)))
+    inp = _t(rng.randn(4).astype(np.float32))
+    h = last @ inp
+    recon_loss = (h**2).sum()
+    g_loss = torch.sin(h).sum()
+    w_ref = gl.calculate_adaptive_weight(recon_loss, g_loss, last, disc_weight_max=1.0)
+    recon_g = torch.autograd.grad((last @ inp).pow(2).sum(), last)[0].numpy()
+    g_g = torch.autograd.grad(torch.sin(last @ inp).sum(), last)[0].numpy()
+    w_ours = L.calculate_adaptive_weight({"w": jnp.asarray(recon_g)}, {"w": jnp.asarray(g_g)})
+    np.testing.assert_allclose(float(w_ours), float(w_ref), rtol=1e-5)
+
+    # adopt_weight gating
+    assert float(L.adopt_weight(0.8, 5, threshold=10, value=0.0)) == 0.0
+    np.testing.assert_allclose(
+        float(L.adopt_weight(0.8, 15, threshold=10, value=0.0)),
+        float(gl.adopt_weight(0.8, 15, threshold=10, value=0.0)), rtol=1e-6,
+    )
+
+
+def test_d_r1_grad_parity_golden(refopt):
+    """Autodiff parity: our jax.grad R1 penalty through the INGESTED full-res D
+    equals the reference's torch.autograd d_r1_loss through its own
+    Discriminator (gan_loss.py:36-42) — the first golden that pins a GRADIENT
+    computed by the two frameworks' autodiff against each other, not just a
+    forward pass."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+    gl = rb.import_ref("project.losses.gan_loss")
+
+    dopt = rb._Munch(refopt.model)
+    dopt.D_init_size = 16
+    dopt.D_input_size = 3
+
+    torch.manual_seed(0)
+    ref = sm.Discriminator(dopt)
+    rb.seed_module(ref, seed=89)
+    ref.eval()
+
+    rng = np.random.RandomState(43)
+    x = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+
+    xt = _t(x).requires_grad_(True)
+    real_pred = ref(xt)
+    ref_r1 = float(gl.d_r1_loss(real_pred, xt))
+
+    from e3dge_tpu.models.discriminator import Discriminator
+    from e3dge_tpu.training.losses import d_r1_penalty
+
+    ours = Discriminator(input_size=16, channel_base=512, channel_multiplier=int(dopt.channel_multiplier))
+    v0 = ours.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"discriminator": v0["params"]}}
+    new_vars = _ingest_standalone(wrapped, {"discriminator": rb.sd_numpy(ref)})
+    var = {"params": new_vars["params"]["discriminator"]}
+
+    r1 = float(d_r1_penalty(lambda v, xx: ours.apply(v, xx), var, jnp.asarray(x)))
+    np.testing.assert_allclose(r1, ref_r1, rtol=5e-4)
+
+
+# -------------------------------------------------- 14. SirenGeneratorDDF
+
+
+def test_siren_ddf_golden(refopt):
+    """SirenGeneratorDDF (volume_renderer.py:561-632): executed proof that the
+    reference's DDF ablation class is dead code upstream, plus a golden pin of
+    the one mode that runs.
+
+    (a) The class cannot instantiate: its __init__ calls
+    super().__init__(D=8, ...) without the required `opt` positional
+    (volume_renderer.py:571-577 vs :136-148) — consistent with its only use
+    site being commented out (:716). (b) Even base-initialized, the feature-tap
+    forward crashes for every input rank. (c) The no-tap mode runs and must
+    match our forward_ddf (models/siren.py), which implements the class's
+    documented intent with working feature taps."""
+    vr = rb.import_ref("project.utils.volume_renderer")
+
+    # (a) broken constructor, executed:
+    with pytest.raises(TypeError):
+        vr.SirenGeneratorDDF()
+
+    torch.manual_seed(0)
+    ref = vr.SirenGeneratorDDF.__new__(vr.SirenGeneratorDDF)
+    vr.SirenGenerator.__init__(ref, refopt.rendering, D=8, W=256, style_dim=256)
+    rb.seed_module(ref, seed=97)
+    ref.eval()
+
+    # (b) the feature-tap forward is ALSO broken for every input rank:
+    # FiLMSiren hardcodes a 5D gamma broadcast (volume_renderer.py:118), so a
+    # flat [B,N,6] batch silently blows up to 5D and crashes the view concat
+    # (:606), while a spatial [B,H,W,S,6] batch crashes the feats concat
+    # against the 3D zeros init (:580-582, :623). Executed proof of dead-code
+    # status (the ledger's by-design-skip claim, now a fact not an opinion):
+    rng = np.random.RandomState(47)
+    B, S = 2, 4
+    styles = (0.3 * rng.randn(B, 9, 256)).astype(np.float32)
+
+    flat = _t(rng.uniform(-1, 1, (B, 48, 6)).astype(np.float32))
+    spatial = _t(rng.uniform(-1, 1, (B, 3, 3, S, 6)).astype(np.float32))
+    with torch.no_grad():
+        with pytest.raises(RuntimeError):
+            ref(flat, _t(styles), return_x=True, feat_layer=3, multi_layer_loss=False)
+        with pytest.raises(RuntimeError):
+            ref(spatial, _t(styles), return_x=True, feat_layer=3, multi_layer_loss=False)
+        with pytest.raises(RuntimeError):
+            ref(spatial, _t(styles), return_x=True, feat_layer=-1, multi_layer_loss=True)
+
+    # (c) the one mode that DOES run (no feature taps requested) must match our
+    # forward_ddf's 'out' head on ingested weights — pinning the shared math.
+    pts = np.asarray(spatial[..., :3])
+    views = np.asarray(spatial[..., 3:])
+    views /= np.linalg.norm(views, axis=-1, keepdims=True)
+    spatial_n = _t(np.concatenate([pts, views], -1))
+    with torch.no_grad():
+        ref_out = ref(spatial_n, _t(styles)).numpy()  # output_features=True concat
+
+    from e3dge_tpu.models.siren import SirenGenerator
+
+    ours = SirenGenerator(depth=8, width=256, style_dim=256)
+    v0 = ours.init(
+        jax.random.key(0), jnp.zeros((B, 3, 3, S, 3)), jnp.zeros((B, 3, 3, S, 3)), jnp.zeros((B, 9, 256))
+    )
+    wrapped = {"params": {"generator": {"renderer": {"network": v0["params"]}}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "renderer.network.")}
+    params = _ingest_standalone(wrapped, sds)["params"]["generator"]["renderer"]["network"]
+
+    ret = ours.apply(
+        {"params": params}, pts, views, styles,
+        feat_layer=-1, multi_layer=False, method=SirenGenerator.forward_ddf,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ret["out"]), ref_out[..., :4], atol=3e-3, rtol=0, err_msg="rgb+sdf head"
+    )
+    # 'feats' in the runnable mode are the final view features, which the
+    # reference appends to `outputs` when output_features=True (:631-632)
+    np.testing.assert_allclose(
+        np.asarray(ret["feats"]), ref_out[..., 4:], atol=3e-3, rtol=0, err_msg="view features"
+    )
+
+
+# -------------------------------------------------- 15. e4e Baseline encoder
+
+
+@pytest.mark.slow
+def test_e4e_encoder_golden(refopt):
+    """encoders.variants.Encoder4EditingHybrid vs the reference's own
+    Encoder4EditingHybridBaseline (e4e_encoders.py:378-497) — the e4e variant
+    the reference factory actually reaches (encoders/__init__.py:30; the
+    non-Baseline class at :239 cannot instantiate: it appends to
+    self.styles_pigan before creating it). Checked at the Inference stage (all
+    deltas) AND an intermediate progressive stage (4), which exercises the
+    stage gate against the reference's stage-limited delta loop, including
+    rows whose FPN source (p2/p1) lies beyond the active stage."""
+    e4e = rb.import_ref("project.models.encoders.e4e_encoders")
+    topt = rb._Munch(refopt.training)
+
+    # non-Baseline is broken upstream, executed proof:
+    with pytest.raises(AttributeError):
+        e4e.Encoder4EditingHybrid(50, "ir_se", topt)
+
+    torch.manual_seed(0)
+    ref = e4e.Encoder4EditingHybridBaseline(50, "ir_se", topt)
+    rb.seed_module(ref, seed=101)
+    rb.seed_buffers(ref, seed=102)
+    ref.eval()
+
+    rng = np.random.RandomState(53)
+    x = rng.uniform(-1, 1, (1, 3, 256, 256)).astype(np.float32)
+
+    from e3dge_tpu.models.encoders.variants import Encoder4EditingHybrid
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    ours = Encoder4EditingHybrid(EncoderConfig())
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {
+        "params": {"encoder": v0["params"]},
+        "batch_stats": {"encoder": v0["batch_stats"]},
+    }
+    new_vars = _ingest_standalone(wrapped, {"encoder": rb.sd_numpy(ref)})
+    var = {
+        "params": new_vars["params"]["encoder"],
+        "batch_stats": new_vars["batch_stats"]["encoder"],
+    }
+
+    for stage in [18, 4]:
+        ref.progressive_stage = e4e.ProgressiveStage(min(stage, 18))
+        with torch.no_grad():
+            ref_thumb, ref_sg = ref(_t(x))
+        thumb, sg = ours.apply(var, jnp.asarray(x), train=False, stage=stage)
+        np.testing.assert_allclose(
+            np.asarray(thumb), ref_thumb.numpy(), atol=1e-3, rtol=0, err_msg=f"thumb stage={stage}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(sg), ref_sg.numpy(), atol=1e-3, rtol=0, err_msg=f"stylegan stage={stage}"
+        )
+
+
+# -------------------------------------------------- 16. ReStyle w-space encoder
+
+
+def test_backbone_encoder_renderer_golden(refopt):
+    """encoders.variants.BackboneEncoderRenderer vs the reference's own
+    (restyle_psp_encoders.py:138-187), at the factory's w-space instantiation
+    (encoders/__init__.py:34-37: BackboneEncoderRenderer(50, 'ir_se', 2, opts)).
+    One 256-d + one 512-d GradualStyleBlock off the final 16² trunk map,
+    repeated to the 9/10 W+ rows."""
+    rpe = rb.import_ref("project.models.encoders.restyle_psp_encoders")
+    topt = rb._Munch(refopt.training)
+    assert int(topt.input_nc) == 3
+
+    torch.manual_seed(0)
+    ref = rpe.BackboneEncoderRenderer(50, "ir_se", 2, topt)
+    rb.seed_module(ref, seed=103)
+    rb.seed_buffers(ref, seed=104)
+    ref.eval()
+
+    rng = np.random.RandomState(59)
+    x = rng.uniform(-1, 1, (1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref_thumb, ref_dec = ref(_t(x))
+
+    from e3dge_tpu.models.encoders.variants import BackboneEncoderRenderer
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    ours = BackboneEncoderRenderer(EncoderConfig())
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {
+        "params": {"encoder": v0["params"]},
+        "batch_stats": {"encoder": v0["batch_stats"]},
+    }
+    new_vars = _ingest_standalone(wrapped, {"encoder": rb.sd_numpy(ref)})
+    thumb, dec = ours.apply(
+        {"params": new_vars["params"]["encoder"], "batch_stats": new_vars["batch_stats"]["encoder"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(thumb), ref_thumb.numpy(), atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=1e-3, rtol=0)
