@@ -140,14 +140,16 @@ def grid_sample_mm(x: jnp.ndarray, grid: jnp.ndarray, chunk: int = 16384) -> jnp
     return jnp.transpose(out, (0, 2, 1)).reshape(B, C, *grid.shape[1:3])
 
 
-def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear 3D grid sample (zeros padding, align_corners=True variant used by
-    `align_volume` for frustum->cube warping, reference `mesh_utils.py:17-44`).
+def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros") -> jnp.ndarray:
+    """Trilinear 3D grid sample (align_corners=True variant used by
+    `align_volume` for frustum->cube warping, reference `mesh_utils.py:17-44`,
+    which samples with padding_mode='border').
 
     Args:
       x: [B, C, D, H, W] volume.
       grid: [B, Dg, Hg, Wg, 3] normalized (x, y, z) locations in [-1, 1] where x
         indexes W, y indexes H, z indexes D. align_corners=True mapping.
+      padding_mode: 'zeros' (out-of-range reads 0) or 'border' (clamped).
 
     Returns:
       [B, C, Dg, Hg, Wg].
@@ -169,16 +171,18 @@ def grid_sample_3d(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     x_nlc = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B, D * H * W, C)
 
     def gather(iz_c, iy_c, ix_c):
-        valid = (
-            (ix_c >= 0) & (ix_c <= W - 1)
-            & (iy_c >= 0) & (iy_c <= H - 1)
-            & (iz_c >= 0) & (iz_c <= D - 1)
-        )
         ixc = jnp.clip(ix_c, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy_c, 0, H - 1).astype(jnp.int32)
         izc = jnp.clip(iz_c, 0, D - 1).astype(jnp.int32)
         flat_idx = ((izc * H + iyc) * W + ixc).reshape(B, -1)
         vals = jnp.take_along_axis(x_nlc, flat_idx[:, :, None], axis=1)  # [B, N, C]
+        if padding_mode == "border":
+            return vals
+        valid = (
+            (ix_c >= 0) & (ix_c <= W - 1)
+            & (iy_c >= 0) & (iy_c <= H - 1)
+            & (iz_c >= 0) & (iz_c <= D - 1)
+        )
         return vals * valid.reshape(B, -1, 1).astype(x.dtype)
 
     def w(a):

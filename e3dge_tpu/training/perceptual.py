@@ -72,14 +72,20 @@ class LPIPS(nn.Module):
         f_pred = net(scale(pred))
         f_tgt = net(scale(target))
 
+        def normalize(f):
+            # reference lpips/utils.py::normalize_activation — epsilon layout
+            # matters at near-zero activations: +1e-8 INSIDE the sqrt, +1e-10
+            # added to the norm (golden-pinned)
+            return f / (jnp.sqrt(jnp.sum(f**2, axis=1, keepdims=True) + 1e-8) + 1e-10)
+
         total = 0.0
         for i, (fp, ft) in enumerate(zip(f_pred, f_tgt)):
-            fp = fp * jax.lax.rsqrt(jnp.sum(fp**2, axis=1, keepdims=True) + 1e-10)
-            ft = ft * jax.lax.rsqrt(jnp.sum(ft**2, axis=1, keepdims=True) + 1e-10)
-            diff = (fp - ft) ** 2
+            diff = (normalize(fp) - normalize(ft)) ** 2
             w = self.param(f"lin{i}_weight", nn.initializers.ones, (1, self.channels[i], 1, 1))
-            # 1x1 conv with non-negative weights == weighted channel sum
-            tap = jnp.sum(jnp.abs(w) * diff, axis=1)  # [B, H, W]
+            # 1x1 conv == weighted channel sum; the reference applies the lin
+            # weights RAW (lpips.py:36-39 — the released v0.1 heads are
+            # non-negative by construction, so no abs)
+            tap = jnp.sum(w * diff, axis=1)  # [B, H, W]
             total = total + (jnp.mean(tap, axis=(1, 2)) if per_sample else jnp.mean(tap))
         return total
 

@@ -71,28 +71,32 @@ def _load_native():
 def align_volume(sdf: jnp.ndarray, near: float = 0.88, far: float = 1.12) -> jnp.ndarray:
     """Warp [B, H, W, S, 1] frustum SDF samples into a cubic grid of the same shape.
 
-    The renderer samples along a perspective frustum; marching cubes wants a regular
-    box. Following the reference (mesh_utils.py:17-44), build normalized cube coords,
-    shrink x/y by the perspective factor at each depth, and trilinearly resample.
-    """
+    The renderer samples along a perspective frustum; marching cubes wants a
+    regular box. Reference-exact (mesh_utils.py:17-44, golden-pinned): the cube
+    xy extent equals the FAR slice's frustum extent, so near slices are read at
+    xy coordinates scaled UP by linspace(far/near -> 1) over depth
+    (frostum_adjustment_coeffs, :26-28); samples falling outside the frustum
+    are border-clamped by the resample and then overwritten with +1 (outside
+    the surface) to avoid marching-cubes artifacts (:41-44)."""
     b, h, w, s, _ = sdf.shape
-    vol = jnp.transpose(sdf[..., 0], (0, 3, 1, 2))[:, None]  # [B, 1, S(D), H, W]
+    vol = jnp.transpose(sdf, (0, 4, 3, 1, 2))  # [B, C, S(D), H, W]
 
-    zs = jnp.linspace(-1.0, 1.0, s)
-    ys = jnp.linspace(-1.0, 1.0, h)
-    xs = jnp.linspace(-1.0, 1.0, w)
-    gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
-    # depth of each output slice in camera units; frustum half-width grows ~ z
-    z_cam = (near + far) / 2.0 + gz * (far - near) / 2.0
-    # cube xy (scene units, +-radius) -> frustum sample uv shrinks by (z_center/z)
-    center = (near + far) / 2.0
-    adjust = z_cam / center
-    gxw = gx * adjust
-    gyw = gy * adjust
-    grid = jnp.stack([gxw, gyw, gz], axis=-1)[None]  # [1, D, H, W, 3]
+    # torch.meshgrid(linspace(h), linspace(w), linspace(d)) default 'ij'
+    gy, gx, gz = jnp.meshgrid(
+        jnp.linspace(-1.0, 1.0, h), jnp.linspace(-1.0, 1.0, w), jnp.linspace(-1.0, 1.0, s),
+        indexing="ij",
+    )  # [h, w, s] each; grid = stack([xx, yy, zz], -1)
+    coeff = jnp.linspace(far / near, 1.0, s).reshape(1, 1, s)
+    gxw = gx * coeff
+    gyw = gy * coeff
+    grid_hws = jnp.stack([gxw, gyw, gz], axis=-1)  # [h, w, s, 3]
+    oob = jnp.any((grid_hws < -1.0) | (grid_hws > 1.0), axis=-1)  # [h, w, s]
+
+    grid = jnp.transpose(grid_hws, (2, 0, 1, 3))[None]  # [1, D, H, W, 3]
     grid = jnp.broadcast_to(grid, (b, s, h, w, 3))
-    out = grid_sample_3d(vol, grid)  # [B, 1, D, H, W]
-    return jnp.transpose(out[:, 0], (0, 2, 3, 1))[..., None] * 1.0  # [B, H, W, D, 1]
+    out = grid_sample_3d(vol, grid, padding_mode="border")  # [B, C, D, H, W]
+    final = jnp.transpose(out, (0, 3, 4, 2, 1))  # [B, H, W, D, C]
+    return jnp.where(oob[None, :, :, :, None], jnp.asarray(1.0, final.dtype), final)
 
 
 def _march_numpy(sdf: np.ndarray, iso: float = 0.0) -> np.ndarray:

@@ -126,6 +126,32 @@ class _ConfigArgumentParser(argparse.ArgumentParser):
         return g
 
 
+def _tv_alexnet(pretrained=False, **_kw):
+    """torchvision.models.alexnet substitute for the LPIPS golden: the exact
+    `.features` layout (conv indices 0,3,6,8,10; relu taps 1,4,7,9,11; maxpools
+    2,5,12) that losses/lpips/networks.py:81-88 slices by index. Architecture
+    is the fixed public torchvision one; weights are random (the golden seeds
+    them and exports to both sides — no pretrained download in this env)."""
+    import torch
+    from torch import nn as tnn
+
+    class _AlexNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(
+                tnn.Conv2d(3, 64, 11, stride=4, padding=2), tnn.ReLU(inplace=True),
+                tnn.MaxPool2d(3, stride=2),
+                tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(inplace=True),
+                tnn.MaxPool2d(3, stride=2),
+                tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(inplace=True),
+                tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(inplace=True),
+                tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(inplace=True),
+                tnn.MaxPool2d(3, stride=2),
+            )
+
+    return _AlexNet()
+
+
 def install_stubs() -> None:
     """Idempotently install import-time stubs + path entries for the reference."""
     if _loaded.get("stubs"):
@@ -192,6 +218,7 @@ def install_stubs() -> None:
         elif name == "torchvision":
             tv = _module("torchvision")
             tv.models = _module("torchvision.models")
+            tv.models.alexnet = _tv_alexnet  # real builder (LPIPS trunk golden)
             tv.models.resnet = _module(
                 "torchvision.models.resnet",
                 resnet34=_StubClass("torchvision.resnet34"),
