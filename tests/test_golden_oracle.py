@@ -28,6 +28,7 @@ import-time stubs for its unavailable deps. Module families covered:
   align_volume              utils/mesh_utils.py:17-44   (frustum->cube SDF warp)
   secant march              lib/geometry.py:131-190     (dead-code proof)
   geometry losses           losses/geometry_loss.py     (BCE hit-prob, depth l2/sl1)
+  PosEncoding + view swap   utils/misc_utils.py:148, training_utils.py:98
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -1331,3 +1332,40 @@ def test_geometry_losses_golden():
     ref_l2 = float(dl_l2({"depth_mean": _t(depth_pred)}, info))
     ours_l2 = float(L.mse(jnp.asarray(depth_pred), jnp.asarray(depth_gt)))
     np.testing.assert_allclose(ours_l2, ref_l2, rtol=1e-5)
+
+
+# -------------------------------------------------- 22. PosEncoding + view swap
+
+
+def test_posenc_and_swap_golden():
+    """ops.pos_encoding vs the reference's own PosEncoding (misc_utils.py:
+    148-184; the cycle runner's 3D-point embedding, e3dge_full_runner.py:68-74)
+    at all three reachable configs (3ch/7freq, 1ch/7freq, 3ch/1freq) plus the
+    logscale=False branch; and steps.swap_tree vs the reference's own
+    _swap_odd_even_index_view (training_utils.py:98-119, the cycle pair-view
+    swap at e3dge_full_runner.py:480-488)."""
+    mu = rb.import_ref("project.utils.misc_utils")
+    tu = rb.import_ref("project.utils.training_utils")
+
+    from e3dge_tpu.ops import pos_encoding
+    from e3dge_tpu.training.steps import swap_tree
+
+    rng = np.random.RandomState(83)
+    for ch, nf, logscale in [(3, 7, True), (1, 7, True), (3, 1, True), (3, 5, False)]:
+        pe = mu.PosEncoding(ch, N_freqs=nf, logscale=logscale)
+        x = rng.uniform(-2, 2, (4, ch)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = pe(_t(x)).numpy()
+        ours = np.asarray(pos_encoding(jnp.asarray(x), n_freqs=nf, logscale=logscale))
+        assert ours.shape[-1] == pe.out_channels
+        np.testing.assert_allclose(ours, ref_out, atol=1e-6, rtol=0, err_msg=f"{ch}ch/{nf}f/{logscale}")
+
+    x = rng.randn(6, 3, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        ref_sw = tu._swap_odd_even_index_view(_t(x)).numpy()
+        ref_dup = tu._duplicate_odd_even_index_view(_t(x)).numpy()
+    ours_sw = np.asarray(swap_tree({"a": jnp.asarray(x)})["a"])
+    np.testing.assert_allclose(ours_sw, ref_sw, atol=0)
+    # duplicate = swap of the swap's even rows == even rows repeated
+    np.testing.assert_allclose(ref_dup, np.repeat(x[0::2], 2, axis=0), atol=0)
+    assert tu._swap_odd_even_index_view(None) is None
