@@ -46,7 +46,13 @@ class _IRBackbone(nn.Module):
 
 
 class HybridBackboneEncoder(nn.Module):
-    """All styles from the final feature map (restyle_psp_encoders.py:58-89)."""
+    """All styles from the final feature map (restyle_psp_encoders.py:58-89).
+
+    NOTE the reference class hardcodes mode='ir' in its super().__init__
+    (:66: `super().__init__(num_layers, mode='ir', n_styles=10, opts=opts)`),
+    silently ignoring the mode argument — every reference instantiation uses
+    plain IR bottlenecks. Pass cfg.mode='ir' to match (golden-pinned);
+    unreachable from the reference factory either way (encoders/__init__.py)."""
 
     cfg: EncoderConfig
     axis_name: str | None = None

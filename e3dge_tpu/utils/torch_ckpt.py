@@ -110,6 +110,21 @@ def flax_path_to_torch(path: str) -> Rule | None:
 
     # ---------------- encoder (E0) — torch keys as in the E3DGE ckpt 'encoder'
     if top == "encoder":
+        # variant encoders wrap the IR trunk in a 'backbone' submodule
+        # (variants.py::_IRBackbone); torch keys are unprefixed either way
+        if rel.startswith("backbone/"):
+            rel = rel[len("backbone/") :]
+        # ReStyle HybridBackboneEncoder thumb heads (restyle_psp_encoders.py:66-72)
+        m = re.match(r"thumb_styles_(\d+)/(.+)", rel)
+        if m:
+            base, sub = f"thumb_styles.{m.group(1)}", m.group(2)
+            mc = re.match(r"convs_(\d+)/(.+)", sub)
+            if mc:
+                return _lookup(_torchconv_rules(f"{base}.convs.{2 * int(mc.group(1))}"), mc.group(2))
+            if sub == "linear/weight":
+                return (f"{base}.linear.weight", _identity)
+            if sub == "linear/bias":
+                return (f"{base}.linear.bias", _identity)
         m = re.match(r"body_(\d+)/(.+)", rel)
         if m:
             i, sub = int(m.group(1)), m.group(2)

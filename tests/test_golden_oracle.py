@@ -1369,3 +1369,45 @@ def test_posenc_and_swap_golden():
     # duplicate = swap of the swap's even rows == even rows repeated
     np.testing.assert_allclose(ref_dup, np.repeat(x[0::2], 2, axis=0), atol=0)
     assert tu._swap_odd_even_index_view(None) is None
+
+
+# -------------------------------------------------- 23. ReStyle hybrid encoder
+
+
+@pytest.mark.slow
+def test_hybrid_backbone_encoder_golden(refopt):
+    """encoders.variants.HybridBackboneEncoder vs the reference's own
+    (restyle_psp_encoders.py:58-89): 9 thumb + 10 decoder GradualStyleBlocks,
+    all reading the final 16² trunk map. The reference hardcodes mode='ir' in
+    its super().__init__ (:66) regardless of the argument — pinned here by
+    instantiating with 'ir_se' and matching with plain-IR bottlenecks."""
+    rpe = rb.import_ref("project.models.encoders.restyle_psp_encoders")
+    topt = rb._Munch(refopt.training)
+
+    torch.manual_seed(0)
+    ref = rpe.HybridBackboneEncoder(50, "ir_se", opts=topt)  # 'ir_se' is ignored
+    rb.seed_module(ref, seed=109)
+    rb.seed_buffers(ref, seed=110)
+    ref.eval()
+
+    rng = np.random.RandomState(87)
+    x = rng.uniform(-1, 1, (1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref_thumb, ref_dec = ref(_t(x))
+
+    from e3dge_tpu.models.encoders.variants import HybridBackboneEncoder
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    ours = HybridBackboneEncoder(EncoderConfig(mode="ir"))
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {
+        "params": {"encoder": v0["params"]},
+        "batch_stats": {"encoder": v0["batch_stats"]},
+    }
+    new_vars = _ingest_standalone(wrapped, {"encoder": rb.sd_numpy(ref)})
+    thumb, dec = ours.apply(
+        {"params": new_vars["params"]["encoder"], "batch_stats": new_vars["batch_stats"]["encoder"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(thumb), ref_thumb.numpy(), atol=1e-3, rtol=0)
+    np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=1e-3, rtol=0)
