@@ -24,21 +24,36 @@ from e3dge_tpu.utils.config import EncoderConfig
 
 
 class VolumeRenderDiscriminatorEncoder(nn.Module):
-    """CoordConv D backbone as a thumb-image encoder: predicts [B, 9, 256] renderer
-    W+ offsets (reference VolumeRenderDiscriminatorEncoder; decoder W+ is None)."""
+    """CoordConv D backbone as a thumb-image encoder (reference
+    stylesdf_model.py:1422-1459, the factory's 'VolumeRenderDiscriminator'
+    encoder_type): the volume-D trunk + its gan/viewpoint `final_conv` PLUS a
+    separate kernel-2 `wplus_latents_pred_conv` head off the pre-final 2x2
+    features predicting [B, 9, 256] renderer W+ offsets (decoder W+ is None).
+    The param tree matches the reference ckpt layout — final_conv is kept even
+    though the encode path ignores its gan logit (its viewpoint half serves
+    `pred_viewpoints=True`, :1437-1447). Golden-pinned."""
 
     cfg: EncoderConfig
     init_size: int = 64
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, return_featmap: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        return_featmap: bool = False,
+        pred_viewpoints: bool = False,
+    ):
         c = self.cfg
         out = VolumeDiscConv(VOLUME_D_CHANNELS[self.init_size], 1, activate=True, name="convs_0")(x)
         log_size = int(math.log2(self.init_size))
         for n, i in enumerate(range(log_size - 1, 0, -1)):
             out = VolumeRenderResBlock(VOLUME_D_CHANNELS[2**i], name=f"convs_{n + 1}")(out)
-        out = VolumeDiscConv(c.n_styles_pigan * c.style_dim, 2, name="final_conv")(out)
-        thumb_out = out.reshape(x.shape[0], c.n_styles_pigan, c.style_dim)
+        gan_out = VolumeDiscConv(3, 2, name="final_conv")(out)  # [B, 3, 1, 1]
+        if pred_viewpoints:
+            return gan_out[:, 1:].reshape(-1, 2)
+        w = VolumeDiscConv(c.n_styles_pigan * c.style_dim, 2, name="wplus_latents_pred_conv")(out)
+        thumb_out = w.reshape(x.shape[0], c.n_styles_pigan, c.style_dim)
         if return_featmap:
             return {"pred_latents": [thumb_out, None], "feat_maps": None, "p32": None}
         return [thumb_out, None]

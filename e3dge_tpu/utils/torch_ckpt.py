@@ -246,6 +246,11 @@ def flax_path_to_torch(path: str) -> Rule | None:
             return ("final_conv.conv.weight", _conv_to_flax)
         if rel == "final_conv/conv/conv/bias":
             return ("final_conv.conv.bias", _identity)
+        # VolumeRenderDiscriminatorEncoder W+ head (stylesdf_model.py:1429-1430)
+        if rel == "wplus_latents_pred_conv/conv/conv/kernel":
+            return ("wplus_latents_pred_conv.conv.weight", _conv_to_flax)
+        if rel == "wplus_latents_pred_conv/conv/conv/bias":
+            return ("wplus_latents_pred_conv.conv.bias", _identity)
         return None
 
     # ---------------- full-res G1 discriminator (stylesdf_model.py:1541-1617)
@@ -254,6 +259,10 @@ def flax_path_to_torch(path: str) -> Rule | None:
     # (blur 0, conv 1, act 2); skip = (blur 0, conv 1, no act). Our params keep
     # torch OIHW/[out,in] layouts (models/discriminator.py), so all _identity.
     if top == "discriminator":
+        # StyleGANEncoder/DEncoder wrap the SG2-D conv pyramid in a 'trunk'
+        # submodule (encoders/factory.py::_SG2Trunk); torch keys are unprefixed
+        if rel.startswith("trunk/"):
+            rel = rel[len("trunk/") :]
         table = {
             "convs_0/conv/weight": "convs.0.0.weight",
             "convs_0/bias": "convs.0.1.bias",

@@ -29,6 +29,9 @@ import-time stubs for its unavailable deps. Module families covered:
   secant march              lib/geometry.py:131-190     (dead-code proof)
   geometry losses           losses/geometry_loss.py     (BCE hit-prob, depth l2/sl1)
   PosEncoding + view swap   utils/misc_utils.py:148, training_utils.py:98
+  HybridBackboneEncoder     restyle_psp_encoders.py:58 (hardcoded-ir proof)
+  VolumeRenderDiscriminatorEncoder  stylesdf_model.py:1422 (W+ head + viewpoints)
+  StyleGANEncoder (legacy)  stylesdf_model.py:1620 (2*n_latent W+ rows)
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -1411,3 +1414,86 @@ def test_hybrid_backbone_encoder_golden(refopt):
     )
     np.testing.assert_allclose(np.asarray(thumb), ref_thumb.numpy(), atol=1e-3, rtol=0)
     np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=1e-3, rtol=0)
+
+
+# -------------------------------------------------- 24. volume-D encoder
+
+
+def test_vrd_encoder_golden(refopt):
+    """encoders.factory.VolumeRenderDiscriminatorEncoder vs the reference's own
+    (stylesdf_model.py:1422-1459, the factory's 'VolumeRenderDiscriminator'
+    encoder_type): D trunk + separate kernel-2 wplus_latents_pred_conv head
+    -> [B, 9, 256] renderer W+ offsets, plus the pred_viewpoints=True path.
+    This golden drove an architecture fix: ours previously repurposed
+    final_conv as the latents head instead of keeping the reference's separate
+    heads (a reference ckpt of this encoder type would not have ingested)."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+
+    torch.manual_seed(0)
+    ref = sm.VolumeRenderDiscriminatorEncoder(refopt)
+    rb.seed_module(ref, seed=113)
+    ref.eval()
+
+    init_size = int(refopt.model.renderer_spatial_output_dim)
+    rng = np.random.RandomState(91)
+    x = rng.uniform(-1, 1, (2, 3, init_size, init_size)).astype(np.float32)
+    with torch.no_grad():
+        ref_lat, ref_none = ref(_t(x))
+        ref_vp = ref(_t(x), pred_viewpoints=True)
+    assert ref_none is None
+
+    from e3dge_tpu.models.encoders.factory import VolumeRenderDiscriminatorEncoder
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    ours = VolumeRenderDiscriminatorEncoder(EncoderConfig(), init_size=init_size)
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {"params": {"volume_discriminator": v0["params"]}}
+    new_vars = _ingest_standalone(wrapped, {"volume_discriminator": rb.sd_numpy(ref)})
+    var = {"params": new_vars["params"]["volume_discriminator"]}
+
+    lat, none = ours.apply(var, jnp.asarray(x))
+    assert none is None
+    np.testing.assert_allclose(np.asarray(lat), ref_lat.numpy(), atol=2e-4, rtol=0)
+    vp = ours.apply(var, jnp.asarray(x), pred_viewpoints=True)
+    np.testing.assert_allclose(np.asarray(vp), ref_vp.numpy(), atol=2e-4, rtol=0)
+
+
+# -------------------------------------------------- 25. legacy StyleGAN encoder
+
+
+def test_stylegan_encoder_golden(refopt):
+    """encoders.factory.StyleGANEncoder vs the reference's own
+    (stylesdf_model.py:1620-1679, the decoder-latent half of the 'OldEncoder'
+    factory branch): SG2-D trunk + minibatch stddev + final conv + 2-layer
+    EqualLinear head -> [B, 2*n_latent, 512] decoder W+ codes (the reference's
+    head really emits 2*n_latent rows — style_dim doubling at :1629 and the
+    *2 at :1648 compound; replicated)."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+
+    dopt = rb._Munch(refopt.model)
+    dopt.D_init_size = 16
+    dopt.D_input_size = 3
+
+    torch.manual_seed(0)
+    ref = sm.StyleGANEncoder(dopt, n_latent=10)
+    rb.seed_module(ref, seed=127)
+    ref.eval()
+
+    rng = np.random.RandomState(93)
+    x = rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        (ref_dec,) = ref(_t(x))
+
+    from e3dge_tpu.models.encoders.factory import StyleGANEncoder
+    from e3dge_tpu.utils.config import EncoderConfig
+
+    ours = StyleGANEncoder(
+        EncoderConfig(), input_size=16, channel_multiplier=int(dopt.channel_multiplier)
+    )
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    wrapped = {"params": {"discriminator": v0["params"]}}
+    new_vars = _ingest_standalone(wrapped, {"discriminator": rb.sd_numpy(ref)})
+    none, dec = ours.apply({"params": new_vars["params"]["discriminator"]}, jnp.asarray(x))
+    assert none is None
+    assert dec.shape == tuple(ref_dec.shape)
+    np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=3e-4, rtol=0)
