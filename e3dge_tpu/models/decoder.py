@@ -40,7 +40,13 @@ class DecoderMapping(nn.Module):
 
 class Decoder(nn.Module):
     cfg: DecoderConfig
-    condition_layer: int = 6  # reference: `if i == 7 - 1` (stylesdf_model.py:777)
+    # reference: `if i == 7 - 1` (stylesdf_model.py:777). NOTE the hook is DEAD
+    # upstream (bug-compatibly replicated here): the loop counter only takes
+    # odd values (i += 2 from 1, :792), so i == 6 never fires — and no
+    # reference trainer ever passes `conditions` anyway. Golden-proven
+    # (tests/test_golden_oracle.py::test_decoder_condition_hook_dead). Set an
+    # odd layer index explicitly to actually inject HFGI conditions.
+    condition_layer: int = 6
 
     @property
     def n_latent(self) -> int:

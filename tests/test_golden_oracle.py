@@ -32,6 +32,8 @@ import-time stubs for its unavailable deps. Module families covered:
   HybridBackboneEncoder     restyle_psp_encoders.py:58 (hardcoded-ir proof)
   VolumeRenderDiscriminatorEncoder  stylesdf_model.py:1422 (W+ head + viewpoints)
   StyleGANEncoder (legacy)  stylesdf_model.py:1620 (2*n_latent W+ rows)
+  full Generator z->image   stylesdf_model.py:800  (mapping+render+decode glue)
+  dead-code proofs          DEncoder/VolumeStyleEncoder/FullEncoder/condition hook
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -1497,3 +1499,175 @@ def test_stylegan_encoder_golden(refopt):
     assert none is None
     assert dec.shape == tuple(ref_dec.shape)
     np.testing.assert_allclose(np.asarray(dec), ref_dec.numpy(), atol=3e-4, rtol=0)
+
+
+# -------------------------------------------------- 26. legacy encoders (dead upstream)
+
+
+def test_legacy_encoders_dead_code_proofs(refopt):
+    """Executed proofs that the remaining legacy encoder classes are broken
+    upstream — our factory variants implement their declared intent and these
+    proofs pin WHY no output golden is possible:
+
+    * DEncoder.forward reads `self.wplus_latents_pred_conv` (its __init__ only
+      declares renderer/stylegan conv heads; the wplus head is commented out,
+      stylesdf_model.py:1704-1710 vs :1737) -> AttributeError.
+    * VolumeStyleEncoder.forward reads `self.avg_latent`, which its parent
+      accepts as an argument but never stores (:1423-1432 vs :1498-1500)
+      -> AttributeError.
+    * FullEncoder.forward unpacks the renderer encoder's 2-element return
+      into three names (:1756-1757) -> ValueError.
+    """
+    sm = rb.import_ref("project.models.stylesdf_model")
+
+    dopt = rb._Munch(refopt.model)
+    dopt.D_init_size = 16
+    dopt.D_input_size = 3
+    x16 = torch.zeros(4, 3, 16, 16)
+    x64 = torch.zeros(2, 3, int(refopt.model.renderer_spatial_output_dim),
+                      int(refopt.model.renderer_spatial_output_dim))
+
+    torch.manual_seed(0)
+    denc = sm.DEncoder(dopt, n_latent=10, avg_latent=None)
+    with torch.no_grad(), pytest.raises(AttributeError):
+        denc(x16)
+
+    vse = sm.VolumeStyleEncoder(refopt, avg_latent=torch.zeros(1, 9, 256),
+                                stylegan_avg_latent=torch.zeros(10, 512))
+    with torch.no_grad(), pytest.raises(AttributeError):
+        vse(x64)
+
+    full = sm.FullEncoder(sm.VolumeRenderDiscriminatorEncoder(refopt),
+                          sm.StyleGANEncoder(dopt, n_latent=10))
+    with torch.no_grad(), pytest.raises(ValueError):
+        full(x16, x64)
+
+
+# -------------------------------------------------- 27. full Generator (z -> image)
+
+
+@pytest.mark.slow
+def test_full_generator_golden(refopt):
+    """models.generator.Generator vs the reference's own full Generator
+    (stylesdf_model.py:800-1020) in ONE forward: z -> 3-layer mapping ->
+    volume render -> decoder, with explicit noise. The renderer and decoder
+    are pinned individually elsewhere; this pins the GLUE — the z->w mapping
+    MLP (bypassed by the other goldens' input_is_latent paths), the [B,256] w
+    broadcast into the 9-row FiLM stack, and the renderer-w -> decoder-style
+    plumbing (decoder_latent = latent, :986-1001)."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+
+    R, S, DEC = 16, 8, 32
+    mopt = rb._Munch(refopt.model)
+    mopt.size = DEC
+    mopt.renderer_spatial_output_dim = R
+    mopt.is_test = True
+    ropt = rb._Munch(refopt.rendering)
+    ropt.N_samples = S
+    ropt.enable_local_model = False
+    ropt.return_sdf = True
+    ropt.return_xyz = True
+
+    torch.manual_seed(0)
+    ref = sm.Generator(mopt, ropt, full_pipeline=True)
+    rb.seed_module(ref, seed=131)
+    ref.eval()
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    cam = camera_params_from_angles(
+        jnp.asarray([0.3]), jnp.asarray([-0.2]), R, fov_ang=6.0, dist_radius=0.12
+    )
+    rng = np.random.RandomState(97)
+    z = (0.5 * rng.randn(1, 256)).astype(np.float32)
+    noise = [
+        (0.5 * rng.randn(1, 1, r, r)).astype(np.float32) for r in [R, 2 * R, 2 * R]
+    ]
+
+    with torch.no_grad():
+        rgb, thumb, xyz, sdf, mask = ref(
+            [_t(z)], _t(cam.poses), _t(np.asarray(cam.focal)),
+            _t(np.asarray(cam.near)), _t(np.asarray(cam.far)),
+            noise=[_t(n) for n in noise], randomize_noise=False,
+            return_xyz=True, return_sdf=True,
+        )
+
+    from e3dge_tpu.models.generator import Generator
+    from e3dge_tpu.utils.config import DecoderConfig, E3DGEConfig, RendererConfig
+
+    cfg = E3DGEConfig(
+        renderer=RendererConfig(depth=8, width=256, style_dim=256, out_im_res=R,
+                                n_samples=S, perturb=False),
+        decoder=DecoderConfig(size=DEC, style_dim=512, channel_multiplier=int(mopt.channel_multiplier),
+                              channel_base=512, in_res=R, in_channels=256),
+    )
+    ours = Generator(cfg)
+    jn = [jnp.asarray(n) for n in noise]
+    v0 = ours.init(
+        {"params": jax.random.key(0)}, [jnp.asarray(z)], cam,
+        input_is_latent=False, noise=jn,
+    )
+    new_vars = _ingest_standalone(
+        {"params": {"generator": v0["params"]}}, {"generator": rb.sd_numpy(ref)}
+    )
+    out = ours.apply(
+        {"params": new_vars["params"]["generator"]}, [jnp.asarray(z)], cam,
+        input_is_latent=False, noise=jn,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["gen_thumb_imgs"]), thumb.numpy(), atol=3e-3, rtol=0
+    )
+    np.testing.assert_allclose(np.asarray(out["gen_imgs"]), rgb.numpy(), atol=3e-3, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(out["sdf"]).reshape(sdf.shape), sdf.numpy(), atol=3e-3, rtol=0
+    )
+
+
+def test_decoder_condition_hook_dead(refopt):
+    """Executed proof that the reference's HFGI condition hook is dead: the
+    Decoder loop counter only takes odd values (i += 2 from 1,
+    stylesdf_model.py:772-792) so `i == 7 - 1` (:777) never fires — the output
+    is bit-identical with and without conditions. No reference trainer passes
+    `conditions` either. Our decoder replicates the behavior bug-compatibly
+    (condition_layer=6; an odd index must be set explicitly to inject)."""
+    sm = rb.import_ref("project.models.stylesdf_model")
+    mopt = rb._Munch(refopt.model)
+    mopt.size = 64
+    mopt.renderer_spatial_output_dim = 16
+    mopt.feature_encoder_in_channels = refopt.rendering.width
+
+    torch.manual_seed(0)
+    ref = sm.Decoder(mopt)
+    rb.seed_module(ref, seed=137)
+    ref.eval()
+
+    rng = np.random.RandomState(101)
+    features = (0.5 * rng.randn(1, 256, 16, 16)).astype(np.float32)
+    latent = (0.3 * rng.randn(1, ref.n_latent, 512)).astype(np.float32)
+    noise = [(0.5 * rng.randn(1, 1, r, r)).astype(np.float32) for r in [16, 32, 32, 64, 64]]
+    # conditions sized for the (never-reached) injection point
+    conds = [torch.ones(1, 512, 16, 16), torch.ones(1, 512, 16, 16)]
+
+    with torch.no_grad():
+        base, _ = ref(_t(features), [_t(latent)], input_is_latent=True,
+                      noise=[_t(n) for n in noise], randomize_noise=False)
+        with_c, _ = ref(_t(features), [_t(latent)], input_is_latent=True,
+                        noise=[_t(n) for n in noise], randomize_noise=False,
+                        conditions=conds)
+    np.testing.assert_array_equal(base.numpy(), with_c.numpy())
+
+    from e3dge_tpu.models.decoder import Decoder
+    from e3dge_tpu.utils.config import DecoderConfig
+
+    cfg = DecoderConfig(size=64, style_dim=512, channel_multiplier=int(mopt.channel_multiplier),
+                        channel_base=512, in_res=16, in_channels=256)
+    ours = Decoder(cfg)
+    jn = [jnp.asarray(n) for n in noise]
+    v0 = ours.init({"params": jax.random.key(0)}, jnp.asarray(features), jnp.asarray(latent),
+                   input_is_latent=True, noise=jn)
+    img0, _ = ours.apply(v0, jnp.asarray(features), jnp.asarray(latent),
+                         input_is_latent=True, noise=jn)
+    img1, _ = ours.apply(v0, jnp.asarray(features), jnp.asarray(latent),
+                         input_is_latent=True, noise=jn,
+                         conditions=(jnp.ones((1, 512, 16, 16)), jnp.ones((1, 512, 16, 16))))
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
