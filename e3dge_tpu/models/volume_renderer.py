@@ -553,7 +553,14 @@ class VolumeFeatureRenderer(nn.Module):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Sphere-initialization pass for training the SIREN SDF from scratch
         (reference mlp_init_pass, volume_renderer.py:1833-1863): stratified frustum
-        samples; target sdf = ||pts|| - (far - near)/4. Returns (sdf, target)."""
+        samples; target sdf = ||pts|| - (far - near)/4. Returns (sdf, target).
+
+        Grid subtlety (golden-pinned, test_golden_oracle.py): the reference jitters
+        `self.t_vals` with the mids/upper/lower scheme regardless of offset_sampling,
+        and under the released --offset_sampling default self.t_vals IS the offset
+        grid linspace(0, 1-1/S) — so the base grid follows cfg.offset_sampling while
+        the jitter style stays "mids" (this method previously used the stratified
+        linspace(0,1) grid unconditionally; parity bug found by the oracle)."""
         c = self.cfg
         res = c.out_im_res
         rays_o, rays_d, viewdirs = get_rays(camera.focal, camera.poses, res)
@@ -564,8 +571,9 @@ class VolumeFeatureRenderer(nn.Module):
             jnp.broadcast_to(camera.far.reshape(b, 1, 1), (b, res, res)),
             (b, res, res),
             c.n_samples,
-            offset_sampling=False,
+            offset_sampling=c.offset_sampling,
             perturb=True,
+            jitter="mids",
         )
         pts = rays_to_points(rays_o, rays_d, z_vals)
         sdf = self.query_sdf(pts, styles)[..., 0]

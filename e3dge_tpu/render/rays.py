@@ -58,12 +58,20 @@ def sample_z_vals(
     n_samples: int,
     offset_sampling: bool = True,
     perturb: bool = False,
+    jitter: str = "auto",
 ) -> jnp.ndarray:
     """Depth values along each ray: [B, H, W, S].
 
     offset sampling: t in {0, 1/S, ..., (S-1)/S} with one shared jitter per ray;
     stratified: t in linspace(0, 1, S) with per-sample jitter in bin midpoint intervals.
-    """
+
+    jitter="auto" couples the jitter style to the grid like the reference render
+    path (volume_renderer.py:1213-1228: offset grid -> shared per-ray shift,
+    stratified grid -> per-sample mids jitter). jitter="mids" forces the
+    per-sample mids scheme on EITHER grid — the reference's mlp_init_pass /
+    sdf_sample_pass do exactly that (volume_renderer.py:1781-1795, 1839-1850:
+    mids/upper/lower + torch.rand(z_vals.shape) applied to self.t_vals, which
+    under the released --offset_sampling default is the offset grid)."""
     b, h, w = shape
     # accept either per-batch [B,...] scalars or per-ray [B, H, W] bounds
     near = near.reshape(b, h, w, 1) if near.size == b * h * w else near.reshape(b, 1, 1, 1)
@@ -76,7 +84,7 @@ def sample_z_vals(
     z_vals = jnp.broadcast_to(z_vals, (b, h, w, n_samples))
 
     if perturb and key is not None:
-        if offset_sampling:
+        if offset_sampling and jitter == "auto":
             upper = jnp.concatenate([z_vals[..., 1:], jnp.broadcast_to(far, (b, h, w, 1))], -1)
             lower = z_vals
             t_rand = jax.random.uniform(key, (b, h, w, 1))

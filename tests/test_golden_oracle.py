@@ -33,7 +33,9 @@ import-time stubs for its unavailable deps. Module families covered:
   VolumeRenderDiscriminatorEncoder  stylesdf_model.py:1422 (W+ head + viewpoints)
   StyleGANEncoder (legacy)  stylesdf_model.py:1620 (2*n_latent W+ rows)
   full Generator z->image   stylesdf_model.py:800  (mapping+render+decode glue)
-  dead-code proofs          DEncoder/VolumeStyleEncoder/FullEncoder/condition hook
+  mlp_init_pass             volume_renderer.py:1833 (sphere-init; offset-grid bug)
+  dead-code proofs          DEncoder/VolumeStyleEncoder/FullEncoder/condition hook/
+                            sdf_sample_pass (3D-supervision __getitem__ entry)
 
 Tolerances: both sides are f32; FiLM gamma~30 through sin amplifies matmul
 rounding ~30x, so field outputs get 3e-3 abs; plain conv stacks get 1e-4.
@@ -1621,6 +1623,128 @@ def test_full_generator_golden(refopt):
     np.testing.assert_allclose(
         np.asarray(out["sdf"]).reshape(sdf.shape), sdf.numpy(), atol=3e-3, rtol=0
     )
+
+
+def _no_feats_renderer(refopt, R: int, S: int, seed: int):
+    """Reference VolumeFeatureRenderer WITHOUT feature output: the init/sample
+    passes split raw as [3,1] (volume_renderer.py:1806,1860), which requires a
+    4-channel network — 'no_features_output' key PRESENCE disables the feature
+    concat (:657-660) and return_feats=False skips the tap machinery."""
+    vr = rb.import_ref("project.utils.volume_renderer")
+    ropt = rb._Munch(refopt.rendering)
+    ropt.N_samples = S
+    ropt.enable_local_model = False
+    ropt.return_feats = False
+    ropt.no_features_output = True
+
+    torch.manual_seed(0)
+    ref = vr.VolumeFeatureRenderer(ropt, style_dim=256, out_im_res=R, mode="test")
+    rb.seed_module(ref, seed=seed)
+    ref.eval()
+    return ref
+
+
+def test_mlp_init_pass_golden(refopt, monkeypatch):
+    """Sphere-init pretraining pass vs the reference's own mlp_init_pass
+    (volume_renderer.py:1833-1863): stratified frustum samples -> (sdf, target
+    ||pts|| - (far-near)/4). The single torch.rand draw is replaced by a fixed
+    array injected into BOTH sides (randoms-as-inputs; everything downstream is
+    each side's real code).
+
+    This golden caught parity bug #8: the reference jitters `self.t_vals` —
+    the OFFSET grid linspace(0, 1-1/S) under the released --offset_sampling
+    default — with the mids/upper/lower scheme, while our mlp_init_pass used
+    the stratified linspace(0,1) grid unconditionally (fixed:
+    models/volume_renderer.py::mlp_init_pass, render/rays.py jitter='mids')."""
+    R, S = 8, 8
+    ref = _no_feats_renderer(refopt, R, S, seed=53)
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    azim = jnp.asarray([0.4, -0.2])
+    elev = jnp.asarray([0.15, -0.3])
+    cam = camera_params_from_angles(azim, elev, R, fov_ang=6.0, dist_radius=0.12)
+
+    rng = np.random.RandomState(13)
+    styles = (0.3 * rng.randn(2, 9, 256)).astype(np.float32)
+    fixed = rng.rand(2, R, R, S).astype(np.float32)
+
+    def _fixed_rand(*shape, **kw):
+        if len(shape) == 1 and not isinstance(shape[0], int):
+            shape = tuple(shape[0])
+        assert int(np.prod(shape)) == fixed.size, shape
+        return torch.from_numpy(fixed.reshape(shape))
+
+    with monkeypatch.context() as m:
+        m.setattr(torch, "rand", _fixed_rand)
+        with torch.no_grad():
+            ref_sdf, ref_target = ref.mlp_init_pass(
+                _t(cam.poses), _t(np.asarray(cam.focal)), _t(np.asarray(cam.near)),
+                _t(np.asarray(cam.far)), styles=_t(styles),
+            )
+
+    from e3dge_tpu.models.volume_renderer import VolumeFeatureRenderer
+    from e3dge_tpu.utils.config import RendererConfig
+
+    cfg = RendererConfig(
+        depth=8, width=256, style_dim=256, out_im_res=R, n_samples=S,
+        perturb=False, output_features=False,
+    )
+    ours = VolumeFeatureRenderer(cfg)
+    v0 = ours.init({"params": jax.random.key(0)}, cam, jnp.asarray(styles))
+    wrapped = {"params": {"generator": {"renderer": v0["params"]}}}
+    sds = {"generator": _prefix_sd(rb.sd_numpy(ref), "renderer.")}
+    params = _ingest_standalone(wrapped, sds)["params"]["generator"]["renderer"]
+
+    orig_uniform = jax.random.uniform
+
+    def _fixed_uniform(key, shape=(), **kw):
+        if tuple(shape) != fixed.shape:
+            # flax scope.param abstractly re-traces init fns to shape-validate
+            # existing params (scope.py:951) — let those through untouched
+            return orig_uniform(key, shape, **kw)
+        return jnp.asarray(fixed.reshape(shape))
+
+    with monkeypatch.context() as m:
+        m.setattr(jax.random, "uniform", _fixed_uniform)
+        our_sdf, our_target = ours.apply(
+            {"params": params}, jax.random.key(7), cam, jnp.asarray(styles),
+            method="mlp_init_pass",
+        )
+
+    ref_sdf = ref_sdf.numpy().reshape(np.asarray(our_sdf).shape)
+    ref_target = ref_target.numpy().reshape(np.asarray(our_target).shape)
+    np.testing.assert_allclose(np.asarray(our_target), ref_target, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(our_sdf), ref_sdf, atol=3e-3, rtol=0)
+
+
+def test_sdf_sample_pass_dead_code_proof(refopt):
+    """Executed proof that the reference's 3D-supervision sampling ENTRY POINT is
+    dead as shipped: DATASETGAN_3D.__getitem__ -> GAN.data_sample_forward
+    (data_util.py:245-258, stylesdf_model.py:905-921) -> renderer.sdf_sample_pass,
+    where every assignment to `normalized_pts` is commented out
+    (volume_renderer.py:1798-1822) — BOTH merge_spatial_dim modes hit a NameError
+    on their first reference to it (:1811 / :1818). The live synthetic-sampling
+    path the trainers actually use is DATASETGAN_3D.sample_with_rand_cams
+    (datasetgan_runner.py:127-146), which our e3dge.synthetic_sample implements."""
+    R, S = 8, 8
+    ref = _no_feats_renderer(refopt, R, S, seed=59)
+
+    from e3dge_tpu.render.camera import camera_params_from_angles
+
+    cam = camera_params_from_angles(
+        jnp.asarray([0.1]), jnp.asarray([0.05]), R, fov_ang=6.0, dist_radius=0.12
+    )
+    styles = (0.3 * np.random.RandomState(17).randn(1, 9, 256)).astype(np.float32)
+    args = (
+        _t(cam.poses), _t(np.asarray(cam.focal)), _t(np.asarray(cam.near)),
+        _t(np.asarray(cam.far)), _t(styles),
+    )
+    with torch.no_grad():
+        with pytest.raises(NameError, match="normalized_pts"):
+            ref.sdf_sample_pass(*args)  # merge_spatial_dim=True (the caller default)
+        with pytest.raises(NameError, match="normalized_pts"):
+            ref.sdf_sample_pass(*args, merge_spatial_dim=False)
 
 
 def test_decoder_condition_hook_dead(refopt):
